@@ -1,0 +1,122 @@
+"""Fixed-shape, on-device, class-aware NMS.
+
+The reference round-trips detections to the CPU mid-forward and calls
+torchvision's C++ ``batched_nms`` per image
+(``module3_our_dataset/utils/utils.py:337-378``, invoked from
+``my_models.py:457``). Here NMS is a pure XLA computation with static
+shapes so the whole detector (backbone -> decode -> NMS -> RoI heads)
+compiles into one TPU program:
+
+* confidence filter + score sort become a masked ``lax.top_k``;
+* class-awareness uses the coordinate-offset trick (equivalent to
+  torchvision's ``batched_nms``: boxes of different classes never overlap);
+* greedy suppression is a ``lax.fori_loop`` over a precomputed IoU matrix —
+  sequential in the score ranking (greedy NMS is inherently so) but each
+  step is one masked vector op on the VPU;
+* outputs are padded to ``max_det`` rows with a validity mask.
+
+Parity: torchvision NMS does NOT use the +1 pixel convention, so the IoU
+here defaults to ``plus_one=False``; score is objectness only and the
+top-``max_det`` (=200) detections survive, exactly like
+``non_max_suppression_cpp`` (utils/utils.py:369-373).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from millieye_tpu.ops.boxes import iou_matrix, xywh_to_xyxy
+
+# Larger than any coordinate that can appear (multiscale training tops out at
+# 608 px); shifts each class into its own disjoint coordinate region.
+_CLASS_OFFSET = 4096.0
+
+
+def nms_keep_mask(boxes_xyxy, valid, iou_thresh, plus_one=False):
+    """Greedy NMS keep-mask for boxes already sorted by descending score.
+
+    boxes_xyxy: [K, 4]; valid: [K] bool; returns [K] bool.
+    """
+    k = boxes_xyxy.shape[0]
+    iou = iou_matrix(boxes_xyxy, boxes_xyxy, plus_one=plus_one)
+    idx = jnp.arange(k)
+
+    def body(i, keep):
+        suppress = (iou[i] > iou_thresh) & (idx > i) & keep[i]
+        return keep & ~suppress
+
+    return lax.fori_loop(0, k, body, valid)
+
+
+def _compact(rows, keep, max_out):
+    """Scatter kept rows (in order) to the front of a [max_out, ...] buffer."""
+    rank = jnp.cumsum(keep) - 1
+    ok = keep & (rank < max_out)
+    dst = jnp.where(ok, rank, max_out)  # out-of-bounds rows are dropped
+    out = jnp.zeros((max_out,) + rows.shape[1:], rows.dtype)
+    out = out.at[dst].set(rows, mode="drop")
+    valid_out = jnp.zeros((max_out,), bool).at[dst].set(ok, mode="drop")
+    return out, valid_out
+
+
+def nms_xyxy(boxes, scores, labels, valid, iou_thresh, max_out, plus_one=False):
+    """Class-aware NMS on explicit boxes (e.g. the demo's post-merge pass,
+    run_mp.py:320). Inputs [K, ...]; returns (kept [max_out, 6], valid).
+
+    Output rows are (x1, y1, x2, y2, score, label), score-sorted.
+    """
+    s = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-s)
+    boxes, s, labels = boxes[order], s[order], labels[order]
+    valid = jnp.isfinite(s)
+    shifted = boxes + (labels.astype(boxes.dtype) * _CLASS_OFFSET)[:, None]
+    keep = nms_keep_mask(shifted, valid, iou_thresh, plus_one)
+    rows = jnp.concatenate(
+        [boxes, s[:, None], labels.astype(boxes.dtype)[:, None]], axis=-1
+    )
+    return _compact(rows, keep, max_out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("conf_thresh", "iou_thresh", "max_det", "pre_top_k")
+)
+def batched_nms(
+    pred,
+    conf_thresh,
+    iou_thresh=0.5,
+    max_det=200,
+    pre_top_k=512,
+):
+    """YOLO-decode postprocessing for a batch.
+
+    pred: [B, A, 5+C] rows of (cx, cy, w, h, obj, cls_0..cls_{C-1}) in image
+    scale (the YOLO decode output, yolov3/models.py:169-176).
+
+    Returns (detections [B, max_det, 7+C], valid [B, max_det]) where a row is
+    (x1, y1, x2, y2, obj_conf, class_score, class_pred, scores_of_C_classes)
+    — the ``non_max_suppression_cpp`` output layout (utils/utils.py:349-351).
+    """
+
+    def per_image(p):
+        xyxy = xywh_to_xyxy(p[:, :4])
+        obj = p[:, 4]
+        cls = p[:, 5:]
+        score = jnp.where(obj >= conf_thresh, obj, -jnp.inf)
+        top_s, idx = lax.top_k(score, min(pre_top_k, p.shape[0]))
+        b = xyxy[idx]
+        c = cls[idx]
+        o = obj[idx]
+        v = jnp.isfinite(top_s)
+        class_score = c.max(axis=-1)
+        class_pred = jnp.argmax(c, axis=-1).astype(p.dtype)
+        shifted = b + (class_pred * _CLASS_OFFSET)[:, None]
+        keep = nms_keep_mask(shifted, v, iou_thresh, plus_one=False)
+        rows = jnp.concatenate(
+            [b, o[:, None], class_score[:, None], class_pred[:, None], c], axis=-1
+        )
+        return _compact(rows, keep, max_det)
+
+    return jax.vmap(per_image)(pred)

@@ -1,0 +1,111 @@
+"""NMS parity tests against an independent pure-python greedy reference."""
+import numpy as np
+import jax.numpy as jnp
+
+from millieye_tpu.ops import batched_nms
+from millieye_tpu.ops.nms import nms_xyxy
+
+
+def ref_iou(a, b):
+    ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+    ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+    ua = (a[2] - a[0]) * (a[3] - a[1])
+    ub = (b[2] - b[0]) * (b[3] - b[1])
+    return inter / (ua + ub - inter + 1e-16)
+
+
+def ref_batched_nms(boxes, scores, labels, iou_thresh):
+    """Greedy class-aware NMS, the torchvision semantics."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    for i in order:
+        ok = True
+        for j in keep:
+            if labels[i] == labels[j] and ref_iou(boxes[i], boxes[j]) > iou_thresh:
+                ok = False
+                break
+        if ok:
+            keep.append(i)
+    return keep
+
+
+def make_pred(rng, batch=2, n=300, classes=12):
+    pred = np.zeros((batch, n, 5 + classes), np.float32)
+    cxy = rng.uniform(30, 380, size=(batch, n, 2))
+    wh = rng.uniform(10, 120, size=(batch, n, 2))
+    pred[..., :2] = cxy
+    pred[..., 2:4] = wh
+    pred[..., 4] = rng.uniform(0, 1, size=(batch, n))
+    pred[..., 5:] = rng.uniform(0, 1, size=(batch, n, classes))
+    return pred
+
+
+def test_batched_nms_matches_reference(rng):
+    conf, iou_t = 0.3, 0.5
+    pred = make_pred(rng)
+    det, valid = batched_nms(jnp.asarray(pred), conf, iou_t, max_det=200, pre_top_k=256)
+    det, valid = np.asarray(det), np.asarray(valid)
+
+    for b in range(pred.shape[0]):
+        p = pred[b]
+        m = p[:, 4] >= conf
+        p = p[m]
+        boxes = np.stack(
+            [
+                p[:, 0] - p[:, 2] / 2,
+                p[:, 1] - p[:, 3] / 2,
+                p[:, 0] + p[:, 2] / 2,
+                p[:, 1] + p[:, 3] / 2,
+            ],
+            -1,
+        )
+        labels = p[:, 5:].argmax(-1)
+        keep = ref_batched_nms(boxes, p[:, 4], labels, iou_t)[:200]
+
+        got = det[b][valid[b]]
+        assert got.shape[0] == len(keep)
+        np.testing.assert_allclose(got[:, :4], boxes[keep], rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(got[:, 4], p[keep, 4], rtol=1e-5)
+        np.testing.assert_array_equal(got[:, 6].astype(int), labels[keep])
+        # full class-score tail carried through (7+c layout)
+        np.testing.assert_allclose(got[:, 7:], p[keep, 5:], rtol=1e-5)
+
+
+def test_batched_nms_max_det_cap(rng):
+    pred = make_pred(rng, batch=1, n=500)
+    pred[..., 4] = 0.9  # everything passes
+    # spread boxes far apart so nothing suppresses
+    pred[0, :, 0] = np.arange(500) * 200.0
+    pred[0, :, 1] = 50.0
+    pred[0, :, 2:4] = 10.0
+    det, valid = batched_nms(jnp.asarray(pred), 0.5, 0.5, max_det=64, pre_top_k=512)
+    assert int(np.asarray(valid).sum()) == 64
+
+
+def test_batched_nms_empty(rng):
+    pred = make_pred(rng, batch=1, n=100)
+    pred[..., 4] = 0.0
+    det, valid = batched_nms(jnp.asarray(pred), 0.5)
+    assert int(np.asarray(valid).sum()) == 0
+
+
+def test_nms_xyxy_direct(rng):
+    n = 60
+    boxes = rng.uniform(0, 300, size=(n, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(10, 80, size=(n, 2))
+    scores = rng.uniform(0, 1, size=n).astype(np.float32)
+    labels = rng.integers(0, 3, size=n).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[-10:] = False
+
+    out, ov = nms_xyxy(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        jnp.asarray(valid), 0.3, 64,
+    )
+    out, ov = np.asarray(out), np.asarray(ov)
+    keep = ref_batched_nms(boxes[:-10], scores[:-10], labels[:-10], 0.3)
+    got = out[ov]
+    assert got.shape[0] == len(keep)
+    np.testing.assert_allclose(got[:, :4], boxes[keep], rtol=1e-5)
+    np.testing.assert_allclose(got[:, 4], scores[keep], rtol=1e-5)
