@@ -1,0 +1,69 @@
+"""End-to-end fusion inference benchmark. Prints ONE JSON line.
+
+Metric: frames/sec for the full single-frame fusion graph (tiny-YOLOv3
+backbone -> YOLO decode -> on-device NMS -> score maps -> PSRoIAlign +
+RoIAlign over 200 image + 32 radar proposals -> refinement/ensemble
+heads) at 416x416, batch 1, BN folded — the reference's ``run_mp.py``
+consumer path (SURVEY.md §3.3, the ``gpu_fps`` it prints per frame).
+
+Baseline: the same workload in plain PyTorch on this host's CPU
+(benchmarks/torch_baseline.py — the reference stack is torch; its exact
+scripts need torchvision/CUDA/datasets that are absent). Measured once
+and cached in bench_baseline.json so round-end runs are cheap.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+_BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_baseline.json")
+
+
+def _baseline_fps():
+    if os.path.exists(_BASELINE_PATH):
+        with open(_BASELINE_PATH) as f:
+            return json.load(f)["torch_cpu_fps"]
+    try:
+        from benchmarks.torch_baseline import measure_torch_fps
+        fps = measure_torch_fps()
+    except Exception:
+        return None
+    with open(_BASELINE_PATH, "w") as f:
+        json.dump({"torch_cpu_fps": fps,
+                   "note": "fusion e2e forward, torch CPU, batch 1, 416px"},
+                  f, indent=1)
+    return fps
+
+
+def main():
+    import jax
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    step = jax.jit(fn)
+    jax.block_until_ready(step(*args))          # compile
+    # latency-style FPS: one frame at a time, synchronized
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    fps = 1.0 / dt
+
+    base = _baseline_fps()
+    vs = fps / base if base else 0.0
+    print(json.dumps({
+        "metric": "fusion_e2e_fps_b1_416",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

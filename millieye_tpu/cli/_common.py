@@ -1,0 +1,66 @@
+"""Shared model/build helpers for the CLIs."""
+from __future__ import annotations
+
+import os
+
+import jax
+
+from millieye_tpu.models import Darknet, tiny_yolov3_defs
+from millieye_tpu.models.fusion import (FusionConfig, FusionNetwork,
+                                        RefineNetwork)
+
+
+def build_darknet(model_cfg=None, num_classes=12, img_size=416):
+    """From a darknet .cfg file (weight-compatible path) or the native
+    zoo definition."""
+    if model_cfg:
+        return Darknet(model_cfg, img_size=img_size)
+    return Darknet(tiny_yolov3_defs(num_classes=num_classes,
+                                    img_size=img_size), img_size=img_size)
+
+
+def build_fusion(args_cfg=None, **overrides):
+    darknet = build_darknet(getattr(args_cfg, "model_def", None),
+                            img_size=getattr(args_cfg, "img_size", 416))
+    cfg = FusionConfig(**overrides)
+    model = FusionNetwork(darknet, cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    return model, params, state
+
+
+def build_refine(args_cfg=None, **overrides):
+    darknet = build_darknet(getattr(args_cfg, "model_def", None),
+                            img_size=getattr(args_cfg, "img_size", 416))
+    overrides.setdefault("class_num", 12)
+    overrides.setdefault("loss_variant", "module2")
+    overrides.setdefault("loss_lambda", (15.0, 5.0))
+    cfg = FusionConfig(**overrides)
+    model = RefineNetwork(darknet, cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    return model, params, state
+
+
+def load_weights_any(model, params, state, path):
+    """Dispatch on extension: darknet .weights, torch .pt/.pth, native
+    .npz (io/checkpoint.py)."""
+    ext = os.path.splitext(path)[1]
+    if ext == ".weights":
+        from millieye_tpu.io.darknet_weights import load_darknet_weights
+        return load_darknet_weights(model, params, state, path)
+    if ext in (".pt", ".pth"):
+        from millieye_tpu.io.torch_ckpt import (read_state_dict,
+                                                fill_fusion_network,
+                                                fill_refine_network,
+                                                fill_darknet)
+        sd = read_state_dict(path)
+        from millieye_tpu.models.fusion import FusionNetwork, RefineNetwork
+        if isinstance(model, FusionNetwork):
+            return fill_fusion_network(model, params, state, sd)
+        if isinstance(model, RefineNetwork):
+            return fill_refine_network(model, params, state, sd)
+        return fill_darknet(model, params, state, sd)
+    if ext == ".npz":
+        from millieye_tpu.io.checkpoint import load_checkpoint
+        restored = load_checkpoint(path, {"params": params, "state": state})
+        return restored["params"], restored["state"]
+    raise ValueError(f"unknown weight format: {path}")

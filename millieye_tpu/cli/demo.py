@@ -1,0 +1,88 @@
+"""Streaming demo CLI (reference run_sp.py / run_mp.py Quick Start).
+
+  python -m millieye_tpu.cli.demo --recording data/20200729-213410 \
+      --calib yaml/calib_FOV90.yaml --weights fusion.npz --mode 0
+
+Replays a recorded session (video/frames + timestamps + pointcloud)
+through the host radar tracker and the single compiled TPU step,
+printing per-stage FPS (the reference prints gpu_fps per frame,
+run_mp.py:316-317, and per-stage fps in run_sp.py:234). ``--save_video``
+writes annotated frames when OpenCV/PIL are available.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from millieye_tpu.cli._common import build_fusion
+from millieye_tpu.cli.evaluate import _load_fusion
+from millieye_tpu.radar.projection import load_calib
+from millieye_tpu.radar.pipeline import RadarParams
+from millieye_tpu.runtime.engine import FusionEngine
+from millieye_tpu.runtime.stream import StreamingPipeline
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--recording", required=True)
+    p.add_argument("--calib", required=True)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--mode", type=int, default=0)
+    p.add_argument("--img_size", type=int, default=416)
+    p.add_argument("--frame_w", type=int, default=640)
+    p.add_argument("--frame_h", type=int, default=480)
+    p.add_argument("--refine_threshold_radar", type=float, default=0.56,
+                   help="run_mp.py:262 demo setting")
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--save_dir", default=None,
+                   help="write annotated frames here")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    model, params, state = build_fusion(
+        args, refine_threshold_radar=args.refine_threshold_radar)
+    if args.weights:
+        params, state = _load_fusion(model, params, state, args.weights)
+    engine = FusionEngine(model, params, state,
+                          frame_size=(args.frame_w, args.frame_h))
+    calib = load_calib(args.calib)
+    pipe = StreamingPipeline(engine, args.recording, calib,
+                             RadarParams(frame_size=(args.frame_w,
+                                                     args.frame_h)),
+                             mode=args.mode)
+
+    on_result = None
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+        on_result = _make_saver(args)
+
+    n, report = pipe.run(on_result=on_result, max_frames=args.max_frames)
+    print(f"frames: {n}  report: {report}")
+    return report
+
+
+def _make_saver(args):
+    from PIL import Image, ImageDraw
+    from millieye_tpu.collection.prepare import iter_frames
+    frames = {i: f for i, f in iter_frames(args.recording)}
+
+    def save(idx, boxes, valid):
+        frame = frames.get(idx)
+        if frame is None:
+            return
+        im = Image.fromarray(frame)
+        draw = ImageDraw.Draw(im)
+        for b, v in zip(boxes, valid):
+            if v:
+                draw.rectangle([float(b[0]), float(b[1]),
+                                float(b[2]), float(b[3])],
+                               outline=(0, 255, 0), width=2)
+        im.save(os.path.join(args.save_dir, f"{idx:06d}.jpg"))
+
+    return save
+
+
+if __name__ == "__main__":
+    main()

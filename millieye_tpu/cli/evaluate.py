@@ -1,0 +1,111 @@
+"""Evaluation CLI: the three reference eval scripts in one entry point.
+
+  python -m millieye_tpu.cli.evaluate --what yolo   --train_list t.txt ...
+      (module2_mixed/test_mixed.py — raw Darknet + NMS mAP)
+  python -m millieye_tpu.cli.evaluate --what refine ...
+      (module2_mixed/test_module2.py — YOLO + refinement mAP)
+  python -m millieye_tpu.cli.evaluate --what fusion --data_root root \
+      --model_mode 0 --illumination L --test_list 0
+      (module3_our_dataset/test_fusion.py — per-mode/illumination fusion
+      mAP with 5-fold scene cross-validation)
+"""
+from __future__ import annotations
+
+import argparse
+
+from millieye_tpu.cli._common import (build_darknet, build_fusion,
+                                      build_refine, load_weights_any)
+from millieye_tpu.data.datasets import (ImageListDataset, ExDarkDataset,
+                                        RadarFusionDataset)
+from millieye_tpu.data.loader import DataLoader, PaddedCollate
+from millieye_tpu.eval import harness
+from millieye_tpu.train.recipes import fusion_device_batch
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--what", choices=("yolo", "refine", "fusion"),
+                   required=True)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--model_def", default=None)
+    p.add_argument("--img_size", type=int, default=416)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--iou_thresh", type=float, default=0.5)
+    p.add_argument("--conf_thresh", type=float, default=0.5)
+    p.add_argument("--nms_thresh", type=float, default=0.5)
+    p.add_argument("--class_names", default=None)
+    p.add_argument("--train_list", default=None)
+    p.add_argument("--exdark_root", default=None)
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--test_list", type=int, default=0)
+    p.add_argument("--illumination", nargs="+", default=["L"])
+    p.add_argument("--model_mode", type=int, default=0,
+                   help="0 millieye / 1 yolo / 2 radar / 3 auto")
+    return p.parse_args(argv)
+
+
+def _batches(loader, img_size):
+    for b in loader:
+        yield fusion_device_batch(b, img_size)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    names = None
+    if args.class_names:
+        from millieye_tpu.io.config import load_classes
+        names = load_classes(args.class_names)
+
+    if args.what == "fusion":
+        model, params, state = build_fusion(args)
+        params, state = _load_fusion(model, params, state, args.weights)
+        dataset = RadarFusionDataset(args.data_root, "test",
+                                     tuple(args.illumination),
+                                     args.test_list)
+        loader = DataLoader(dataset, args.batch_size,
+                            PaddedCollate(args.img_size))
+        result = harness.evaluate_fusion(
+            model, params, state, _batches(loader, args.img_size),
+            mode=args.model_mode, iou_thresh=args.iou_thresh)
+    else:
+        if args.exdark_root:
+            dataset = ExDarkDataset(args.exdark_root, "test")
+        else:
+            dataset = ImageListDataset(args.train_list)
+        loader = DataLoader(dataset, args.batch_size,
+                            PaddedCollate(args.img_size))
+        if args.what == "yolo":
+            darknet = build_darknet(args.model_def, img_size=args.img_size)
+            import jax
+            params, state = darknet.init(jax.random.PRNGKey(0))
+            params, state = load_weights_any(darknet, params, state,
+                                             args.weights)
+            result = harness.evaluate_yolo(
+                darknet, params, state, _batches(loader, args.img_size),
+                conf_thresh=args.conf_thresh, nms_thresh=args.nms_thresh,
+                iou_thresh=args.iou_thresh)
+        else:
+            model, params, state = build_refine(args)
+            params, state = _load_fusion(model, params, state, args.weights)
+            result = harness.evaluate_refine(
+                model, params, state, _batches(loader, args.img_size),
+                iou_thresh=args.iou_thresh)
+
+    table, m_ap = harness.summarize(result, names)
+    print(table)
+    return m_ap
+
+
+def _load_fusion(model, params, state, path):
+    from millieye_tpu.cli._common import load_weights_any as lwa
+    import os
+    if os.path.splitext(path)[1] in (".pt", ".pth", ".npz"):
+        return lwa(model, params, state, path)
+    # darknet .weights only covers the backbone
+    params["darknet"], state["darknet"] = lwa(
+        model.darknet, params["darknet"], state["darknet"], path)
+    return params, state
+
+
+if __name__ == "__main__":
+    main()

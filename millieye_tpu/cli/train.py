@@ -1,0 +1,119 @@
+"""Training CLI for all three stages.
+
+Mirrors the reference's two train scripts (module2_mixed/train.py flags at
+:26-96 for stages 1-2, module3_our_dataset/train.py:26-96 for stage 3) in
+one entry point:
+
+  python -m millieye_tpu.cli.train --stage yolo   --train_list paths.txt
+  python -m millieye_tpu.cli.train --stage refine --train_list paths.txt \
+      --pretrained yolo.weights
+  python -m millieye_tpu.cli.train --stage fusion --data_root our_dataset \
+      --pretrained_module2 module2.npz --test_list 0 --illumination H L
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from millieye_tpu.cli._common import (build_darknet, build_fusion,
+                                      build_refine, load_weights_any)
+from millieye_tpu.data.datasets import (ImageListDataset, ExDarkDataset,
+                                        RadarFusionDataset)
+from millieye_tpu.data.loader import DataLoader, PaddedCollate
+from millieye_tpu.train import recipes
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--stage", choices=("yolo", "refine", "fusion"),
+                   required=True)
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--img_size", type=int, default=416)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--grad_accum", type=int, default=2)
+    p.add_argument("--model_def", default=None,
+                   help="darknet .cfg (defaults to built-in tiny-yolov3-12)")
+    p.add_argument("--pretrained", default=None,
+                   help=".weights/.pt/.pth/.npz to initialize from")
+    p.add_argument("--pretrained_module2", default=None,
+                   help="stage-3: module2 checkpoint to load+freeze")
+    p.add_argument("--checkpoint", default=None, help="resume .npz")
+    p.add_argument("--checkpoint_dir", default="checkpoints")
+    p.add_argument("--train_list", default=None,
+                   help="stage 1/2: image path list file")
+    p.add_argument("--exdark_root", default=None,
+                   help="stage 1/2: ExDark dataset root (alternative)")
+    p.add_argument("--data_root", default=None,
+                   help="stage 3: our_dataset root")
+    p.add_argument("--test_list", type=int, default=0,
+                   help="stage 3: held-out scene fold (0-4)")
+    p.add_argument("--illumination", nargs="+", default=["H", "L"])
+    p.add_argument("--multiscale", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    rng = jax.random.PRNGKey(args.seed)
+
+    if args.stage == "fusion":
+        model, params, state = build_fusion(args)
+        if args.pretrained:
+            params["darknet"], state["darknet"] = load_weights_any(
+                model.darknet, params["darknet"], state["darknet"],
+                args.pretrained)
+        if args.pretrained_module2:
+            from millieye_tpu.io.torch_ckpt import (read_state_dict,
+                                                    load_module2_pretrain)
+            sd = read_state_dict(args.pretrained_module2)
+            params, state = load_module2_pretrain(params, state, sd)
+        trainer = recipes.fusion_trainer(
+            model, params, state, args.checkpoint_dir, lr=args.lr,
+            every_k=args.grad_accum)
+        dataset = RadarFusionDataset(args.data_root, "train",
+                                     tuple(args.illumination),
+                                     args.test_list)
+        collate = PaddedCollate(args.img_size, multiscale=args.multiscale)
+        loader = DataLoader(dataset, args.batch_size, collate, shuffle=True,
+                            seed=args.seed)
+        batch_fn = lambda b: recipes.fusion_device_batch(b, args.img_size)
+    else:
+        if args.exdark_root:
+            dataset = ExDarkDataset(args.exdark_root, "train")
+        else:
+            dataset = ImageListDataset(args.train_list, augment=True)
+        collate = PaddedCollate(args.img_size, multiscale=args.multiscale)
+        loader = DataLoader(dataset, args.batch_size, collate, shuffle=True,
+                            seed=args.seed)
+        batch_fn = lambda b: recipes.fusion_device_batch(b, args.img_size)
+        if args.stage == "yolo":
+            darknet = build_darknet(args.model_def, img_size=args.img_size)
+            params, state = darknet.init(rng)
+            if args.pretrained:
+                params, state = load_weights_any(darknet, params, state,
+                                                 args.pretrained)
+            trainer = recipes.yolo_trainer(darknet, params, state,
+                                           args.checkpoint_dir, lr=args.lr,
+                                           every_k=args.grad_accum)
+        else:
+            model, params, state = build_refine(args)
+            if args.pretrained:
+                params["darknet"], state["darknet"] = load_weights_any(
+                    model.darknet, params["darknet"], state["darknet"],
+                    args.pretrained)
+            trainer = recipes.refine_trainer(model, params, state,
+                                             args.checkpoint_dir,
+                                             lr=args.lr,
+                                             every_k=args.grad_accum)
+
+    if args.checkpoint:
+        trainer.resume(args.checkpoint)
+    trainer.fit(loader, args.epochs, rng, batch_fn)
+    print("done:", trainer.save("final"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,14 @@
+from millieye_tpu.data.preprocessing import (
+    np_pad_to_square,
+    np_resize_nearest,
+    np_resize_bilinear_ac,
+    horizontal_flip,
+)
+from millieye_tpu.data.datasets import (
+    ImageListDataset,
+    ExDarkDataset,
+    RadarFusionDataset,
+    COCO_NAMES,
+    EXDARK_NAMES,
+)
+from millieye_tpu.data.loader import DataLoader, PaddedCollate

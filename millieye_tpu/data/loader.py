@@ -1,0 +1,137 @@
+"""Threaded data loader with fixed-shape padded collate.
+
+Replaces torch's DataLoader(num_workers=16, collate_fn=...) (module3
+train.py:154-161) with a dependency-free threaded prefetcher. The collate
+produces PADDED tensors — every batch has identical shapes, so the jit'd
+train/eval step compiles once (multiscale training recompiles once per
+distinct scale, then hits the cache).
+"""
+from __future__ import annotations
+
+import queue
+import random
+import threading
+
+import numpy as np
+
+from millieye_tpu.data.preprocessing import np_resize_nearest
+
+
+class PaddedCollate:
+    """items -> dict of fixed-shape numpy arrays.
+
+    Padded slots are zero with False masks. Multiscale mode re-rolls the
+    image size every 10 batches from {img_size-96 .. img_size+96 step 32}
+    (ListDataset.collate_fn, module2 utils/datasets.py:158-162).
+    """
+
+    def __init__(self, img_size=416, max_targets=64, max_radar=32,
+                 max_points=256, multiscale=False, seed=0):
+        self.base_size = img_size
+        self.cur_size = img_size
+        self.max_targets = max_targets
+        self.max_radar = max_radar
+        self.max_points = max_points
+        self.multiscale = multiscale
+        self.batch_count = 0
+        self._rng = random.Random(seed)
+
+    def _roll_size(self):
+        if self.multiscale and self.batch_count % 10 == 0:
+            lo, hi = self.base_size - 3 * 32, self.base_size + 3 * 32
+            self.cur_size = self._rng.choice(range(lo, hi + 1, 32))
+        self.batch_count += 1
+        return self.cur_size
+
+    @staticmethod
+    def _pad(rows, n, width):
+        out = np.zeros((n, width), np.float32)
+        mask = np.zeros(n, bool)
+        rows = np.asarray(rows, np.float32).reshape(-1, width)[:n]
+        out[:len(rows)] = rows
+        mask[:len(rows)] = True
+        return out, mask
+
+    def __call__(self, items):
+        size = self._roll_size()
+        batch = {
+            "paths": [it["path"] for it in items],
+            "images": np.stack([
+                np_resize_nearest(it["image"], size) for it in items]),
+        }
+        t = [self._pad(it["targets"], self.max_targets, 5) for it in items]
+        batch["targets"] = np.stack([x[0] for x in t])
+        batch["tmask"] = np.stack([x[1] for x in t])
+
+        if "radar_boxes" in items[0]:
+            rb = [self._pad(it["radar_boxes"], self.max_radar, 4)
+                  for it in items]
+            batch["radar_boxes"] = np.stack([x[0] for x in rb])
+            batch["rmask"] = np.stack([x[1] for x in rb])
+        if "radar_points" in items[0]:
+            rp = [self._pad(it["radar_points"], self.max_points, 4)
+                  for it in items]
+            batch["radar_points"] = np.stack([x[0] for x in rp])
+            batch["pmask"] = np.stack([x[1] for x in rp])
+            batch["frame_size"] = items[0]["frame_size"]
+        return batch
+
+
+class DataLoader:
+    """Iterate padded batches with background worker threads."""
+
+    def __init__(self, dataset, batch_size, collate: PaddedCollate,
+                 shuffle=False, num_workers=4, drop_last=False, seed=0,
+                 prefetch_batches=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        self.prefetch = prefetch_batches
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(idx)
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i:i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield chunk
+
+    def __iter__(self):
+        self.epoch += 1
+        out_q = queue.Queue(maxsize=self.prefetch)
+        batches = list(self._index_batches())
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for chunk in batches:
+                    if stop.is_set():
+                        return
+                    items = [self.dataset.get(i) for i in chunk]
+                    out_q.put(self.collate(items))
+            finally:
+                out_q.put(None)
+
+        worker = threading.Thread(target=produce, daemon=True)
+        worker.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()

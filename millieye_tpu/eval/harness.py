@@ -1,0 +1,151 @@
+"""Evaluation harnesses: the reference's three mAP scripts as library calls.
+
+* ``evaluate_yolo``    — raw Darknet + NMS (stage-1 check,
+                         module2_mixed/test_mixed.py:23-97)
+* ``evaluate_refine``  — YOLO + refinement (module2_mixed/
+                         test_module2.py:25-96)
+* ``evaluate_fusion``  — full radar fusion with per-mode / per-illumination
+                         slicing and auto mode selection
+                         (module3_our_dataset/test_fusion.py:24-115)
+
+Each takes an iterable of collated batches (data.loader.DataLoader), runs
+ONE jit-compiled padded-forward per batch, unpads at the host boundary and
+feeds the numpy mAP engine (eval/metrics.py). Returns
+(precision, recall, AP, f1, classes) per class plus the global PR curve —
+the ``ap_per_class`` contract.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from millieye_tpu.eval.metrics import get_batch_statistics, ap_per_class
+from millieye_tpu.ops.nms import batched_nms
+
+
+def _unpad(boxes, valid):
+    """[B, K, 7] + [B, K] -> list of [n_i, 7] numpy arrays (None if empty)."""
+    boxes, valid = np.asarray(boxes), np.asarray(valid)
+    out = []
+    for b, v in zip(boxes, valid):
+        out.append(b[v] if v.any() else None)
+    return out
+
+
+def _targets_to_eval(targets, tmask, img_size):
+    """[B, T, 5] (class, cx, cy, w, h in 0..1) -> [m, 6]
+    (image_i, class, x1, y1, x2, y2) in image scale (test_fusion.py:94-99)."""
+    rows = []
+    targets, tmask = np.asarray(targets), np.asarray(tmask)
+    for i, (t, m) in enumerate(zip(targets, tmask)):
+        t = t[m]
+        if not len(t):
+            continue
+        cx, cy, w, h = t[:, 1], t[:, 2], t[:, 3], t[:, 4]
+        xyxy = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                        -1) * img_size
+        rows.append(np.concatenate(
+            [np.full((len(t), 1), i), t[:, :1], xyxy], -1))
+    return np.concatenate(rows, 0) if rows else np.zeros((0, 6))
+
+
+def _finish(stats, all_target_cls):
+    if not stats:
+        return None
+    tp = np.concatenate([s[0] for s in stats])
+    conf = np.concatenate([s[1] for s in stats])
+    pred = np.concatenate([s[2] for s in stats])
+    return ap_per_class(tp, conf, pred, all_target_cls)
+
+
+def evaluate_yolo(darknet, params, state, batches, conf_thresh=0.5,
+                  nms_thresh=0.5, iou_thresh=0.5, max_det=200):
+    """Stage-1: backbone + decode + NMS only (test_mixed.py path)."""
+
+    @jax.jit
+    def step(images):
+        out = darknet.apply(params, state, images)
+        det, valid = batched_nms(out["detections"], conf_thresh, nms_thresh,
+                                 max_det=max_det)
+        return det[:, :, :7], valid
+
+    stats, target_cls = [], []
+    for batch in batches:
+        images = jnp.asarray(batch["images"])
+        det, valid = step(images)
+        targets = _targets_to_eval(batch["targets"], batch["tmask"],
+                                   images.shape[1])
+        target_cls.extend(targets[:, 1].tolist())
+        stats.extend(get_batch_statistics(_unpad(det, valid), targets,
+                                          iou_thresh))
+    return _finish(stats, target_cls)
+
+
+def evaluate_refine(model, params, state, batches, iou_thresh=0.5):
+    """Stage-2: YOLO + refinement + ensemble (test_module2.py path)."""
+
+    @jax.jit
+    def step(images):
+        out = model.apply(params, state, images)
+        return out["boxes"], out["valid"]
+
+    stats, target_cls = [], []
+    for batch in batches:
+        images = jnp.asarray(batch["images"])
+        boxes, valid = step(images)
+        targets = _targets_to_eval(batch["targets"], batch["tmask"],
+                                   images.shape[1])
+        target_cls.extend(targets[:, 1].tolist())
+        stats.extend(get_batch_statistics(_unpad(boxes, valid), targets,
+                                          iou_thresh))
+    return _finish(stats, target_cls)
+
+
+def auto_mode(images):
+    """mode 3 selection: dark frames -> millieye, bright -> yolo
+    (test_fusion.py:24-32: img.mean() < 0.1)."""
+    return 0 if float(jnp.mean(images)) < 0.1 else 1
+
+
+def evaluate_fusion(model, params, state, batches, mode=0, iou_thresh=0.5):
+    """Stage-3 full fusion. ``mode``: 0 millieye / 1 yolo / 2 radar /
+    3 auto (per-batch selection)."""
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def step(images, maps, rb, rmask, m):
+        out = model.apply(params, state, images, maps, rb, rmask, mode=m)
+        return out["boxes"], out["valid"]
+
+    stats, target_cls = [], []
+    for batch in batches:
+        images = jnp.asarray(batch["images"])
+        m = auto_mode(images) if mode == 3 else mode
+        boxes, valid = step(images, jnp.asarray(batch["radar_maps"]),
+                            jnp.asarray(batch["radar_boxes"]),
+                            jnp.asarray(batch["rmask"]), m)
+        targets = _targets_to_eval(batch["targets"], batch["tmask"],
+                                   images.shape[1])
+        target_cls.extend(targets[:, 1].tolist())
+        stats.extend(get_batch_statistics(_unpad(boxes, valid), targets,
+                                          iou_thresh))
+    return _finish(stats, target_cls)
+
+
+def summarize(result, class_names=None):
+    """ap_per_class output -> printable per-class table + mAP
+    (train.py:268-271 AsciiTable equivalent)."""
+    if result is None:
+        return "no detections", 0.0
+    p, r, ap, f1, classes = result[:5]
+    lines = ["cls     name            AP      P       R       F1"]
+    for i, c in enumerate(classes):
+        name = (class_names[int(c)] if class_names
+                and int(c) < len(class_names) else str(int(c)))
+        lines.append(f"{int(c):<7d} {name:<15s} {ap[i]:.4f}  {p[i]:.4f}  "
+                     f"{r[i]:.4f}  {f1[i]:.4f}")
+    m_ap = float(np.mean(ap)) if len(ap) else 0.0
+    lines.append(f"mAP: {m_ap:.4f}")
+    return "\n".join(lines), m_ap

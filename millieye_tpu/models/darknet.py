@@ -1,0 +1,311 @@
+"""Functional, cfg-driven Darknet (tiny-YOLOv3 family) for TPU.
+
+Design (vs. reference ``module*/yolov3/models.py``):
+
+* **Functional**: parameters and BN running statistics are explicit pytrees
+  (``params``, ``state``); ``apply`` is a pure function, jit/grad/vmap/pjit
+  compose over it. No module objects hold tensors.
+* **NHWC layout** (TPU-native); conv kernels are HWIO. The darknet
+  ``.weights`` loader (io/darknet_weights.py) does the transposition.
+* **One compiled graph**: the layer walk is traced once; the YOLO decode
+  (sigmoid/exp/grid offsets, yolov3/models.py:132-176) happens in the same
+  program. Decode runs in float32 (exp overflows bf16).
+* **Feature tap**: the stride-16, 256-channel map after block
+  ``feature_tap`` (=8 in tiny-YOLOv3) is returned with a
+  ``stop_gradient``, mirroring the ``.detach()`` at models.py:253-255 that
+  freezes the backbone w.r.t. the fusion heads.
+* ``fold_batchnorm`` bakes eval-mode BN into conv weights for the
+  inference path — the conv+BN+leaky block becomes a single MXU conv with
+  bias, nothing left for the VPU but the activation (which XLA fuses).
+
+Block-dict schema is shared with ``io.config.parse_model_config`` and
+``models.zoo``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from millieye_tpu.io.config import parse_model_config
+
+_BN_EPS = 1e-5
+# torch BatchNorm2d(momentum=0.9) at models.py:39: running <- 0.1*running + 0.9*batch
+_BN_MOMENTUM = 0.9
+
+
+def _conv2d(x, w, stride, pad, dtype):
+    return lax.conv_general_dilated(
+        x.astype(dtype),
+        w.astype(dtype),
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _maxpool(x, size, stride):
+    if size == 2 and stride == 1:
+        # reference pads right/bottom by 1 to keep the grid size
+        # (nn.ZeroPad2d((0,1,0,1)), models.py:46-48)
+        pads = [(0, 0), (0, 1), (0, 1), (0, 0)]
+    else:
+        pads = [(0, 0), (0, 0), (0, 0), (0, 0)]
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=pads,
+    )
+
+
+def _upsample2x(x, factor):
+    return jnp.repeat(jnp.repeat(x, factor, axis=1), factor, axis=2)
+
+
+def decode_yolo(raw, anchors, num_classes, img_dim):
+    """Decode one YOLO scale.
+
+    raw: [N, G, G, A*(5+C)] conv output. Returns
+    (detections [N, A*G*G, 5+C] in image scale, pred [N, A, G, G, 5+C]
+    with (sigmoid-x, sigmoid-y, tw, th, sigmoid-conf, sigmoid-cls) — the
+    representation the loss consumes, yolov3/models.py:150-167).
+
+    Flattening order is anchor-major then row then column, matching the
+    reference's ``view(num_samples, -1, ...)`` on an [N, A, G, G] tensor.
+    """
+    n, g = raw.shape[0], raw.shape[1]
+    a = len(anchors)
+    f = 5 + num_classes
+    raw = raw.reshape(n, g, g, a, f).transpose(0, 3, 1, 2, 4)  # [N,A,G,G,F]
+    raw = raw.astype(jnp.float32)
+
+    stride = img_dim / g
+    anchors = jnp.asarray(anchors, jnp.float32)  # pixel units
+
+    xy = jax.nn.sigmoid(raw[..., 0:2])
+    twh = raw[..., 2:4]
+    conf = jax.nn.sigmoid(raw[..., 4:5])
+    cls = jax.nn.sigmoid(raw[..., 5:])
+
+    gy = lax.broadcasted_iota(jnp.float32, (g, g), 0)
+    gx = lax.broadcasted_iota(jnp.float32, (g, g), 1)
+    grid = jnp.stack([gx, gy], -1)[None, None]                 # [1,1,G,G,2]
+    bxy = (xy + grid) * stride
+    bwh = jnp.exp(twh) * anchors[None, :, None, None, :]
+
+    det = jnp.concatenate([bxy, bwh, conf, cls], -1).reshape(n, a * g * g, f)
+    pred = jnp.concatenate([xy, twh, conf, cls], -1)
+    return det, pred
+
+
+class Darknet:
+    """cfg/zoo-driven YOLO graph. Stateless; owns only the layer plan."""
+
+    def __init__(self, config, img_size=416, feature_tap=8):
+        if isinstance(config, (str,)):
+            config = parse_model_config(config)
+        self.hyperparams = config[0]
+        self.block_defs = list(config[1:])
+        self.img_size = img_size
+        self.feature_tap = feature_tap
+        self._plan = self._build_plan()
+        self.yolo_blocks = [
+            (i, b) for i, b in enumerate(self.block_defs) if b["type"] == "yolo"
+        ]
+        self.num_classes = (
+            int(self.yolo_blocks[0][1]["classes"]) if self.yolo_blocks else 0
+        )
+
+    # -- static planning ----------------------------------------------------
+    def _build_plan(self):
+        """Resolve per-block channel counts and anchor sets."""
+        plan = []
+        channels = [int(self.hyperparams.get("channels", 3))]
+        for block in self.block_defs:
+            t = block["type"]
+            info = {"type": t}
+            if t == "convolutional":
+                info.update(
+                    in_ch=channels[-1],
+                    filters=int(block["filters"]),
+                    size=int(block["size"]),
+                    stride=int(block["stride"]),
+                    bn=int(block.get("batch_normalize", 0)) == 1,
+                    act=block.get("activation", "linear"),
+                )
+                out = info["filters"]
+            elif t == "maxpool":
+                info.update(size=int(block["size"]), stride=int(block["stride"]))
+                out = channels[-1]
+            elif t == "upsample":
+                info.update(factor=int(block["stride"]))
+                out = channels[-1]
+            elif t == "route":
+                layers = [int(v) for v in block["layers"].split(",")]
+                # mirror python negative-list indexing over prior outputs
+                abs_layers = [
+                    l if l >= 0 else len(plan) + l for l in layers
+                ]
+                info.update(layers=abs_layers)
+                out = sum(channels[1:][l] for l in abs_layers)
+            elif t == "shortcut":
+                frm = int(block["from"])
+                info.update(frm=len(plan) + frm if frm < 0 else frm)
+                out = channels[1:][info["frm"]]
+            elif t == "yolo":
+                mask = [int(v) for v in block["mask"].split(",")]
+                flat = [int(v) for v in block["anchors"].split(",")]
+                pairs = list(zip(flat[::2], flat[1::2]))
+                info.update(
+                    anchors=tuple(pairs[m] for m in mask),
+                    classes=int(block["classes"]),
+                )
+                out = channels[-1]
+            else:
+                raise ValueError(f"unknown block type {t!r}")
+            plan.append(info)
+            channels.append(out)
+        return plan
+
+    # -- parameters ----------------------------------------------------------
+    def init(self, rng):
+        """(params, state) pytrees; init matches weights_init_normal
+        (utils/utils.py:29-37): conv ~ N(0, .02), BN gamma ~ N(1, .02).
+        """
+        params, state = [], []
+        for info in self._plan:
+            if info["type"] != "convolutional":
+                params.append({})
+                state.append({})
+                continue
+            rng, k1, k2 = jax.random.split(rng, 3)
+            k = info["size"]
+            w = 0.02 * jax.random.normal(
+                k1, (k, k, info["in_ch"], info["filters"]), jnp.float32
+            )
+            if info["bn"]:
+                c = info["filters"]
+                params.append(
+                    {
+                        "w": w,
+                        "gamma": 1.0 + 0.02 * jax.random.normal(k2, (c,), jnp.float32),
+                        "beta": jnp.zeros((c,), jnp.float32),
+                    }
+                )
+                state.append(
+                    {
+                        "mean": jnp.zeros((c,), jnp.float32),
+                        "var": jnp.ones((c,), jnp.float32),
+                    }
+                )
+            else:
+                params.append({"w": w, "b": jnp.zeros((info["filters"],), jnp.float32)})
+                state.append({})
+        return params, state
+
+    # -- forward --------------------------------------------------------------
+    def apply(
+        self,
+        params,
+        state,
+        images,
+        train=False,
+        compute_dtype=jnp.float32,
+    ):
+        """Run the graph.
+
+        images: [N, H, W, 3]. Returns a dict:
+          feature_map  [N, H/16, W/16, 256] (stop_gradient, NHWC)
+          detections   [N, sum(A*G*G), 5+C] image-scale decode (stop_gradient)
+          preds        list of [N, A, G, G, 5+C] per YOLO scale (live grads,
+                       for the training loss)
+          state        updated BN running stats (train=True only)
+        """
+        img_dim = images.shape[1]
+        outputs = []
+        feature_map = None
+        dets, preds = [], []
+        new_state = list(state)
+
+        for i, info in enumerate(self._plan):
+            t = info["type"]
+            if t == "convolutional":
+                p = params[i]
+                pad = (info["size"] - 1) // 2
+                x = _conv2d(outputs[-1] if outputs else images, p["w"],
+                            info["stride"], pad, compute_dtype)
+                if "gamma" in p:  # BN not folded away
+                    if train:
+                        mean = jnp.mean(x, axis=(0, 1, 2))
+                        var = jnp.var(x, axis=(0, 1, 2))
+                        m = _BN_MOMENTUM
+                        new_state[i] = {
+                            "mean": (1 - m) * state[i]["mean"] + m * mean,
+                            "var": (1 - m) * state[i]["var"] + m * var,
+                        }
+                    else:
+                        mean, var = state[i]["mean"], state[i]["var"]
+                    x = (x - mean) * lax.rsqrt(var + _BN_EPS)
+                    x = x * p["gamma"] + p["beta"]
+                else:
+                    x = x + p["b"]
+                if info["act"] == "leaky":
+                    x = jnp.where(x > 0, x, 0.1 * x)
+            elif t == "maxpool":
+                x = _maxpool(outputs[-1], info["size"], info["stride"])
+            elif t == "upsample":
+                x = _upsample2x(outputs[-1], info["factor"])
+            elif t == "route":
+                x = jnp.concatenate([outputs[l] for l in info["layers"]], -1)
+            elif t == "shortcut":
+                x = outputs[-1] + outputs[info["frm"]]
+            elif t == "yolo":
+                det, pred = decode_yolo(
+                    outputs[-1], info["anchors"], info["classes"], img_dim
+                )
+                dets.append(det)
+                preds.append(pred)
+                x = det  # occupies the slot, like the reference layer_outputs
+            outputs.append(x)
+            if i == self.feature_tap:
+                feature_map = lax.stop_gradient(x)
+
+        out = {
+            "feature_map": feature_map,
+            "detections": lax.stop_gradient(jnp.concatenate(dets, 1)),
+            "preds": preds,
+        }
+        if train:
+            out["state"] = new_state
+        return out
+
+    def fold_batchnorm(self, params, state):
+        """Bake eval-mode BN into conv weight+bias for inference speed.
+
+        Returns params usable with ``apply(..., state=folded_state)`` where
+        BN blocks are replaced by biased convs (detected by the absence of
+        "gamma"). Numerically identical to eval-mode BN.
+        """
+        folded_params, folded_state = [], []
+        for info, p, s in zip(self._plan, params, state):
+            if info["type"] == "convolutional" and info["bn"]:
+                scale = p["gamma"] * jax.lax.rsqrt(s["var"] + _BN_EPS)
+                folded_params.append(
+                    {"w": p["w"] * scale, "b": p["beta"] - s["mean"] * scale}
+                )
+                folded_state.append({})
+            else:
+                folded_params.append(p)
+                folded_state.append(s)
+        return folded_params, folded_state
+
+    @property
+    def anchors_per_scale(self):
+        return [info["anchors"] for _, info in
+                ((i, self._plan[i]) for i, _ in self.yolo_blocks)]

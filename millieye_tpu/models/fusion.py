@@ -1,0 +1,401 @@
+"""Fusion networks (camera-only "module2" and radar+camera "module3"),
+re-designed as single compiled TPU graphs.
+
+The reference forward (``module3_our_dataset/my_models.py:433-641``) leaves
+the device twice per step: NMS runs on CPU mid-graph (:457) and IoU
+labeling is a Python loop (:556). Here the full path —
+
+  backbone -> YOLO decode -> fixed-shape NMS -> score maps -> RoI kernels
+  -> refinement/ensemble heads -> (train only) vectorized IoU labeling,
+  balanced sampling, losses
+
+— is one jit program over padded tensors:
+
+* image proposals: [B, K, 7+C] + validity (K = detections_per_img = 200);
+* radar proposals: [B, R, 4] normalized + validity (R configurable);
+* outputs: [B, K+R, 7] rows (x1, y1, x2, y2, conf, class_score,
+  class_pred) + validity, sorted per image by the reference's priority
+  (radar confidence divided by 5, my_models.py:537-539).
+
+Run modes are STATIC arguments (0 millieye / 1 yolo / 2 radar / 3 auto is
+resolved by the caller per mode_selection, test_fusion.py:24-32), so each
+mode compiles to its own lean program.
+
+Training-semantics notes:
+* IoU labels use max IoU over same-image same-class targets with the
+  +1 pixel convention; ``multi_boxes`` is effectively always True in the
+  reference call sites (my_models.py:556 passes a truthy tuple), so the
+  "detected boxes" bookkeeping never engages — the vectorized max is exact.
+* 1:balance_factor pos/neg sampling keeps the reference's random uniform
+  choice of k = min(5*pos, neg) negatives, expressed as a rank-threshold
+  over random keys (data-dependent k works as a traced comparison).
+* module2's category loss indexes labels by enumerate position instead of
+  sample position (module2 my_models.py:450-452) — judged a bug; this
+  framework aligns labels with samples. All other loss terms follow the
+  reference, including module3 shipping with regression+category terms
+  excluded from the total (my_models.py:635) — select via ``loss_variant``.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from millieye_tpu.models.darknet import Darknet
+from millieye_tpu.models import heads
+from millieye_tpu.ops.boxes import box_regress, xywh_to_xyxy, iou_matrix
+from millieye_tpu.ops.nms import batched_nms
+from millieye_tpu.ops.roi_align import roi_align, ps_roi_align
+
+
+@dataclass
+class FusionConfig:
+    conf_thresh: float = 0.2
+    nms_thresh: float = 0.5
+    class_num: int = 1            # module3: person-only refinement
+    class_idx: int = 0            # keep only this YOLO class (module3:463)
+    max_det: int = 200            # detections_per_img
+    max_radar: int = 32           # padded radar proposals per image
+    pre_nms_top_k: int = 512
+    iou_thresh: tuple = (0.3, 0.7)
+    alpha: float = 0.75
+    balance_factor: int = 5
+    loss_lambda: tuple = (6.0, 1.0)      # module3 my_models.py:421
+    refine_threshold_img: float = 0.0
+    refine_threshold_radar: float = 0.0
+    loss_variant: str = "module3"        # or "module2"
+    sampling_max: int = 4                # RoIAlign adaptive grid bound
+
+
+class FusionNetwork:
+    """Radar+camera fusion detector ("module3 Network")."""
+
+    def __init__(self, darknet: Darknet, config: FusionConfig = None):
+        self.darknet = darknet
+        self.cfg = config or FusionConfig()
+
+    # ------------------------------------------------------------------ init
+    def init(self, rng):
+        k = jax.random.split(rng, 5)
+        d_params, d_state = self.darknet.init(k[0])
+        img_cnn_p, img_cnn_s = heads.conv_bn_stack_init(k[1], (256, 490))
+        radar_p, radar_s = heads.radar_encoder_init(k[2])
+        ref_p, ref_s = heads.refinement_head_init(k[3], with_radar=True)
+        ens_p = heads.ensemble_head_init(k[4], self.cfg.class_num)
+        params = {"darknet": d_params, "img_cnn": img_cnn_p,
+                  "radar_enc": radar_p, "refine": ref_p, "ensemble": ens_p}
+        state = {"darknet": d_state, "img_cnn": img_cnn_s,
+                 "radar_enc": radar_s, "refine": ref_s}
+        return params, state
+
+    # --------------------------------------------------------------- forward
+    def apply(self, params, state, images, radar_maps, radar_boxes,
+              radar_mask, mode=0, train=False, targets=None, tmask=None,
+              rng=None):
+        """
+        images      [B, S, S, 3] float, letterboxed
+        radar_maps  [B, S/16, S/16, 3] heatmaps
+        radar_boxes [B, R, 4] xyxy normalized to (0,1); radar_mask [B, R]
+        mode        static: 0 millieye, 1 yolo-only, 2 radar-only
+        train       static; targets [B, T, 5] (class, cx, cy, w, h in 0..1)
+
+        Returns dict with ``boxes`` [B, K+R, 7], ``valid`` [B, K+R] and, in
+        training, ``loss`` plus per-term metrics and updated ``state``.
+        """
+        cfg = self.cfg
+        b_sz = images.shape[0]
+        img_size = images.shape[1]
+        k_img, r_rad = cfg.max_det, cfg.max_radar
+
+        # 1. frozen base detector (eval-mode BN always, train.py:169-170)
+        d_out = self.darknet.apply(params["darknet"], state["darknet"], images)
+        feature_map = d_out["feature_map"]
+        det, det_valid = batched_nms(
+            d_out["detections"], cfg.conf_thresh, cfg.nms_thresh,
+            max_det=k_img, pre_top_k=cfg.pre_nms_top_k)
+        det = jax.lax.stop_gradient(det)
+        # keep only the fused class (my_models.py:463)
+        det_valid = det_valid & (det[:, :, 6].astype(jnp.int32) == cfg.class_idx)
+
+        img_xyxy = det[:, :, 0:4]
+        img_conf = det[:, :, 4]
+        img_class_score = det[:, :, 5]
+        img_class_pred = det[:, :, 6]
+        img_cls_scores = det[:, :, 7:]
+
+        if mode == 1:  # yolo-only early exit (my_models.py:476-477)
+            boxes_out = jnp.concatenate(
+                [img_xyxy, img_conf[..., None], img_class_score[..., None],
+                 img_class_pred[..., None]], -1)
+            return {"boxes": boxes_out, "valid": det_valid,
+                    "num_img": k_img}
+
+        # 2. score maps
+        roi_score_map, img_cnn_s = heads.conv_bn_stack_apply(
+            params["img_cnn"], state["img_cnn"], feature_map, train)
+        radar_score_map, radar_enc_s = heads.radar_encoder_apply(
+            params["radar_enc"], state["radar_enc"], radar_maps, train)
+
+        # 3. aggregate proposals -> flat RoI list [(B*(K+R)), 5]
+        radar_xyxy = radar_boxes * img_size                     # (:490-492)
+        all_xyxy = jnp.concatenate([img_xyxy, radar_xyxy], axis=1)
+        all_valid = jnp.concatenate([det_valid, radar_mask], axis=1)
+        n_all = k_img + r_rad
+        batch_col = jnp.broadcast_to(
+            jnp.arange(b_sz, dtype=jnp.float32)[:, None], (b_sz, n_all))
+        rois = jnp.concatenate(
+            [batch_col[..., None], all_xyxy], -1).reshape(b_sz * n_all, 5)
+        flat_valid = all_valid.reshape(-1)
+
+        # 4. RoI cropping (my_models.py:495-496)
+        img_crop = ps_roi_align(roi_score_map, rois, (7, 7), 1.0 / 16,
+                                sampling_max=cfg.sampling_max)
+        radar_crop = roi_align(radar_score_map, rois, (7, 7), 1.0 / 16,
+                               sampling_max=cfg.sampling_max)
+
+        # 5. refinement head (img-feature scoring + radar-confidence fusion)
+        regress_param, refinement_vector, refine_s = heads.refinement_head_apply(
+            params["refine"], state["refine"], radar_crop, img_crop,
+            valid=flat_valid.astype(jnp.float32), train=train,
+            class_num=cfg.class_num)
+        regress_param = regress_param.reshape(b_sz, n_all, 4)
+        refinement_vector = refinement_vector.reshape(
+            b_sz, n_all, 1 + cfg.class_num)
+
+        # 6. ensemble head on image proposals only (my_models.py:509-513);
+        # yolo_vector carries conf + the first class_num class scores
+        # (img_boxes keeps detections[:, :7+class_num], my_models.py:466)
+        yolo_vector = jax.lax.stop_gradient(jnp.concatenate(
+            [img_conf[..., None], img_cls_scores[:, :, :cfg.class_num]], -1))
+        ens = heads.ensemble_head_apply(
+            params["ensemble"],
+            refinement_vector[:, :k_img].reshape(b_sz * k_img, -1),
+            yolo_vector.reshape(b_sz * k_img, -1),
+        ).reshape(b_sz, k_img, 2)
+        # module3 convention: ensemble channel 0 is p(foreground)
+        fg = jnp.concatenate(
+            [ens[:, :, 0], refinement_vector[:, k_img:, 0]], axis=1)
+
+        # 7. thresholding + regression + priority sort (my_models.py:517-539)
+        thr = jnp.concatenate([
+            jnp.full((k_img,), 1.0 if mode == 2 else cfg.refine_threshold_img),
+            jnp.full((r_rad,), cfg.refine_threshold_radar)])
+        positive = all_valid & (fg > thr[None, :])
+
+        if mode == 2:
+            out_xyxy = all_xyxy                     # no regression (:529-534)
+        else:
+            out_xyxy = box_regress(regress_param, all_xyxy)
+
+        class_score = jnp.concatenate(
+            [img_class_score, refinement_vector[:, k_img:, 0]], axis=1)
+        class_pred = jnp.concatenate(
+            [img_class_pred, jnp.zeros((b_sz, r_rad))], axis=1)
+        boxes_out = jnp.concatenate(
+            [out_xyxy, fg[..., None], class_score[..., None],
+             class_pred[..., None]], -1)
+
+        priority = fg * jnp.concatenate(
+            [jnp.ones((k_img,)), jnp.full((r_rad,), 1.0 / 5)])[None, :]
+        priority = jnp.where(positive, priority, -jnp.inf)
+        order = jnp.argsort(-priority, axis=1)
+        boxes_out = jnp.take_along_axis(boxes_out, order[..., None], axis=1)
+        out_valid = jnp.take_along_axis(positive, order, axis=1)
+
+        result = {"boxes": boxes_out, "valid": out_valid, "num_img": k_img,
+                  "radar_attention": radar_score_map[..., :1]}
+
+        if not train:
+            return result
+
+        # ----------------------------------------------------------- training
+        new_state = {"darknet": state["darknet"], "img_cnn": img_cnn_s,
+                     "radar_enc": radar_enc_s, "refine": refine_s}
+        loss, metrics = self._losses(
+            cfg, rng, targets, tmask, all_xyxy, all_valid, class_pred,
+            regress_param, refinement_vector, fg, positive, k_img, img_size)
+        result.update(loss=loss, metrics=metrics, state=new_state)
+        return result
+
+    # ------------------------------------------------------------- training
+    @staticmethod
+    def _losses(cfg, rng, targets, tmask, all_xyxy, all_valid, class_pred,
+                regress_param, refinement_vector, fg, positive, k_img,
+                img_size):
+        b_sz, n_all = all_valid.shape
+        t_cls = targets[..., 0]
+        t_xyxy = xywh_to_xyxy(targets[..., 1:5]) * img_size   # (:548-549)
+
+        # vectorized obtain_iou_labels (my_models.py:317-375)
+        def per_image(bx, bcls, bval, txy, tcl, tms):
+            iou = iou_matrix(bx, txy, plus_one=True)          # [N, T]
+            same_class = bcls[:, None] == tcl[None, :]
+            ok = same_class & tms[None, :] & bval[:, None]
+            iou = jnp.where(ok, iou, 0.0)
+            best = jnp.argmax(iou, axis=1)
+            return jnp.max(iou, axis=1), txy[best]
+
+        iou_labels, target_loc = jax.vmap(per_image)(
+            all_xyxy, class_pred, all_valid, t_xyxy, t_cls, tmask)
+
+        pos = (iou_labels > cfg.iou_thresh[1]) & all_valid
+        neg = (iou_labels < cfg.iou_thresh[0]) & all_valid
+
+        # balanced sampling: k = min(5*pos, neg) random negatives (:590-601)
+        flat_pos = pos.reshape(-1)
+        flat_neg = neg.reshape(-1)
+        top_k = jnp.minimum(flat_pos.sum() * cfg.balance_factor,
+                            flat_neg.sum())
+        keys = jax.random.uniform(rng, flat_neg.shape)
+        keys = jnp.where(flat_neg, keys, jnp.inf)
+        rank = jnp.argsort(jnp.argsort(keys))      # rank of each key
+        chosen_neg = flat_neg & (rank < top_k)
+        sample = flat_pos | chosen_neg
+
+        is_img = (jnp.arange(n_all) < k_img)[None, :].repeat(b_sz, 0).reshape(-1)
+        flat_fg = fg.reshape(-1)
+        masks2 = jnp.stack([1 - flat_fg, flat_fg], -1)
+        label2 = jnp.stack([1.0 - flat_pos, flat_pos.astype(jnp.float32)], -1)
+
+        # focal loss over sampled IMAGE proposals only (:603-610)
+        w_img = (sample & is_img).astype(jnp.float32)
+        masks_loss = heads.focal_loss(masks2, label2, w_img, cfg.alpha)
+
+        # confidence BCE over all sampled proposals (:613-619)
+        conf = refinement_vector.reshape(-1, refinement_vector.shape[-1])[:, 0]
+        conf_loss = heads.bce_sum(conf, flat_pos.astype(jnp.float32),
+                                  sample.astype(jnp.float32))
+
+        # regression smooth-L1 on positives (:621-625)
+        from millieye_tpu.ops.boxes import encode_boxes
+        enc = encode_boxes(all_xyxy.reshape(-1, 4), target_loc.reshape(-1, 4))
+        w_pos = flat_pos.astype(jnp.float32)
+        rp = regress_param.reshape(-1, 4)
+        loss_xy = heads.smooth_l1_sum(rp[:, :2], enc[:, :2], w_pos)
+        loss_wh = heads.smooth_l1_sum(rp[:, 2:], enc[:, 2:], w_pos)
+
+        # category BCE on positives (:627-633; label indexing fixed)
+        cls_onehot = jax.nn.one_hot(class_pred.reshape(-1).astype(jnp.int32),
+                                    cfg.class_num)
+        category_loss = heads.bce_sum(
+            refinement_vector.reshape(-1, refinement_vector.shape[-1])[:, 1:],
+            cls_onehot, w_pos)
+
+        if cfg.loss_variant == "module2":
+            total = (masks_loss
+                     + (conf_loss + category_loss) / cfg.loss_lambda[0]
+                     + (loss_xy + loss_wh) / cfg.loss_lambda[1])
+        else:  # module3 ships with regression/category excluded (:635)
+            total = masks_loss + conf_loss / cfg.loss_lambda[0]
+
+        flat_positive = positive.reshape(-1)
+        metrics = {
+            "masks_loss": masks_loss,
+            "conf_loss": conf_loss,
+            "category_loss": category_loss,
+            "loss_xy": loss_xy,
+            "loss_wh": loss_wh,
+            "total": flat_pos.sum() + flat_neg.sum(),
+            "true": flat_pos.sum(),
+            "positive": flat_positive.sum(),
+            "tp": (flat_positive & flat_pos).sum(),
+        }
+        return total, metrics
+
+
+class RefineNetwork:
+    """Camera-only refinement detector ("module2 Network",
+    module2_mixed/my_models.py:280-461): frozen YOLO -> NMS -> PSRoIAlign
+    over a 490-ch score map -> refinement head (with dropout) -> ensemble
+    head over (refinement, yolo) vectors -> re-scored, regressed boxes.
+
+    Differences from FusionNetwork: no radar branch, all classes kept
+    (class_num=12), ensemble fc2 has a LeakyReLU, masks channel 1 is
+    p(foreground), and the loss includes category + regression terms
+    (loss_lambda = (15, 5), module2:290,457).
+    """
+
+    def __init__(self, darknet: Darknet, config: FusionConfig = None):
+        self.darknet = darknet
+        cfg = config or FusionConfig(
+            class_num=12, loss_variant="module2", loss_lambda=(15.0, 5.0))
+        self.cfg = cfg
+
+    def init(self, rng):
+        k = jax.random.split(rng, 4)
+        d_params, d_state = self.darknet.init(k[0])
+        fcn_p, fcn_s = heads.conv_bn_stack_init(k[1], (256, 490))
+        ref_p, ref_s = heads.refinement_head_init(
+            k[2], net2_out=self.cfg.class_num + 1, with_radar=False)
+        ens_p = heads.ensemble_head_init(k[3], self.cfg.class_num)
+        params = {"darknet": d_params, "fcn": fcn_p,
+                  "refine": ref_p, "ensemble": ens_p}
+        state = {"darknet": d_state, "fcn": fcn_s, "refine": ref_s}
+        return params, state
+
+    def apply(self, params, state, images, train=False, targets=None,
+              tmask=None, rng=None):
+        cfg = self.cfg
+        b_sz, img_size = images.shape[0], images.shape[1]
+        k_img = cfg.max_det
+
+        d_out = self.darknet.apply(params["darknet"], state["darknet"], images)
+        det, det_valid = batched_nms(
+            d_out["detections"], cfg.conf_thresh, cfg.nms_thresh,
+            max_det=k_img, pre_top_k=cfg.pre_nms_top_k)
+        det = jax.lax.stop_gradient(det)
+
+        img_xyxy = det[:, :, 0:4]
+        roi_score_map, fcn_s = heads.conv_bn_stack_apply(
+            params["fcn"], state["fcn"], d_out["feature_map"], train)
+
+        batch_col = jnp.broadcast_to(
+            jnp.arange(b_sz, dtype=jnp.float32)[:, None], (b_sz, k_img))
+        rois = jnp.concatenate(
+            [batch_col[..., None], img_xyxy], -1).reshape(b_sz * k_img, 5)
+        img_crop = ps_roi_align(roi_score_map, rois, (7, 7), 1.0 / 16,
+                                sampling_max=cfg.sampling_max)
+
+        drop_rng = None
+        if train and rng is not None:
+            rng, drop_rng = jax.random.split(rng)
+        regress_param, refinement_vector, refine_s = heads.refinement_head_apply(
+            params["refine"], state["refine"], None, img_crop,
+            train=train, dropout_rng=drop_rng, class_num=cfg.class_num)
+        regress_param = regress_param.reshape(b_sz, k_img, 4)
+        refinement_vector = refinement_vector.reshape(b_sz, k_img, -1)
+
+        yolo_vector = jax.lax.stop_gradient(jnp.concatenate(
+            [det[:, :, 4:5], det[:, :, 7:]], -1))
+        masks = heads.ensemble_head_apply(
+            params["ensemble"],
+            refinement_vector.reshape(b_sz * k_img, -1),
+            yolo_vector.reshape(b_sz * k_img, -1),
+            fc2_leaky=True,
+        ).reshape(b_sz, k_img, 2)
+        fg = masks[:, :, 1]                       # module2:352-353
+
+        positive = det_valid & (fg > cfg.refine_threshold_img)
+        out_xyxy = box_regress(regress_param, img_xyxy)
+        boxes_out = jnp.concatenate(
+            [out_xyxy, fg[..., None], det[:, :, 5:6], det[:, :, 6:7]], -1)
+
+        priority = jnp.where(positive, fg, -jnp.inf)
+        order = jnp.argsort(-priority, axis=1)
+        boxes_out = jnp.take_along_axis(boxes_out, order[..., None], axis=1)
+        out_valid = jnp.take_along_axis(positive, order, axis=1)
+        result = {"boxes": boxes_out, "valid": out_valid, "num_img": k_img}
+
+        if not train:
+            return result
+
+        new_state = {"darknet": state["darknet"], "fcn": fcn_s,
+                     "refine": refine_s}
+        loss, metrics = FusionNetwork._losses(
+            cfg, rng, targets, tmask, img_xyxy, det_valid,
+            det[:, :, 6], regress_param, refinement_vector, fg, positive,
+            k_img, img_size)
+        result.update(loss=loss, metrics=metrics, state=new_state)
+        return result

@@ -10,9 +10,13 @@ compiles into one TPU program:
 * confidence filter + score sort become a masked ``lax.top_k``;
 * class-awareness uses the coordinate-offset trick (equivalent to
   torchvision's ``batched_nms``: boxes of different classes never overlap);
-* greedy suppression is a ``lax.fori_loop`` over a precomputed IoU matrix —
-  sequential in the score ranking (greedy NMS is inherently so) but each
-  step is one masked vector op on the VPU;
+* greedy suppression runs as a FIXPOINT iteration over the [K, K] IoU
+  matrix: ``keep_i = valid_i and no higher-ranked kept box overlaps i``,
+  iterated to convergence. The fixpoint equals greedy NMS exactly (the
+  operator is monotone along the score ranking) but converges in
+  suppression-chain-depth steps — typically <10 whole-matrix VPU ops
+  instead of K(=512) sequential scalar-driven steps, the difference
+  between ~10us and ~1ms of latency per image on TPU;
 * outputs are padded to ``max_det`` rows with a validity mask.
 
 Parity: torchvision NMS does NOT use the +1 pixel convention, so the IoU
@@ -35,10 +39,11 @@ from millieye_tpu.ops.boxes import iou_matrix, xywh_to_xyxy
 _CLASS_OFFSET = 4096.0
 
 
-def nms_keep_mask(boxes_xyxy, valid, iou_thresh, plus_one=False):
-    """Greedy NMS keep-mask for boxes already sorted by descending score.
+def nms_keep_mask_ref(boxes_xyxy, valid, iou_thresh, plus_one=False):
+    """Reference greedy NMS (sequential fori_loop) — kept as the golden
+    implementation the fast fixpoint version is tested against.
 
-    boxes_xyxy: [K, 4]; valid: [K] bool; returns [K] bool.
+    boxes_xyxy: [K, 4] sorted by descending score; valid: [K] bool.
     """
     k = boxes_xyxy.shape[0]
     iou = iou_matrix(boxes_xyxy, boxes_xyxy, plus_one=plus_one)
@@ -49,6 +54,37 @@ def nms_keep_mask(boxes_xyxy, valid, iou_thresh, plus_one=False):
         return keep & ~suppress
 
     return lax.fori_loop(0, k, body, valid)
+
+
+def nms_keep_mask(boxes_xyxy, valid, iou_thresh, plus_one=False):
+    """Greedy NMS keep-mask via fixpoint iteration (exact, fast on TPU).
+
+    Boxes must be sorted by descending score. Define the monotone operator
+    F(keep)_i = valid_i AND NOT any_{j<i}(keep_j AND iou(i,j) > t).
+    Greedy NMS is the unique fixpoint of F reached from keep=valid along
+    the ranking; each application resolves one more level of the
+    suppression-chain DAG, so convergence takes chain-depth iterations
+    (bounded by K, typically single digits). Each iteration is one
+    [K, K] masked reduction on the VPU.
+    """
+    k = boxes_xyxy.shape[0]
+    iou = iou_matrix(boxes_xyxy, boxes_xyxy, plus_one=plus_one)
+    row = lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    overlap = (iou > iou_thresh) & (col < row)      # j outranks i
+
+    def cond(state):
+        keep, prev, it = state
+        return (it < k) & jnp.any(keep != prev)
+
+    def body(state):
+        keep, _, it = state
+        new = valid & ~jnp.any(overlap & keep[None, :], axis=1)
+        return new, keep, it + 1
+
+    init = valid & ~jnp.any(overlap & valid[None, :], axis=1)
+    keep, _, _ = lax.while_loop(cond, body, (init, valid, jnp.int32(0)))
+    return keep
 
 
 def _compact(rows, keep, max_out):

@@ -1,0 +1,102 @@
+"""Single compiled ingest + inference step for streaming.
+
+The reference's demo splits work across a producer process (decode,
+radar tracking, ToTensor/pad/resize/heatmap on CPU) and a consumer
+(GPU forward, CPU NMS post-merge, rescale) — run_mp.py:42-160 / 302-334.
+Here everything except JPEG/video decode and the tiny-N tracker is ONE
+XLA program per frame:
+
+  uint8 frame -> letterbox (on-device) ----------------------\
+  radar points -> heatmap rasterize -> pad+resize (on-device) +-> fusion
+  radar boxes (padded, normalized) --------------------------/   forward
+  -> post-merge NMS (iou 0.3, run_mp.py:320) -> boxes in camera coords
+
+so the host<->device boundary is crossed once per frame with a few KB of
+raw inputs, and TPU sees a fixed-shape graph it compiles once.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from millieye_tpu.ops import letterbox as lb
+from millieye_tpu.ops.rasterize import radar_heatmap, heatmap_bins
+from millieye_tpu.ops.nms import nms_xyxy
+from millieye_tpu.ops.boxes import rescale_boxes
+
+
+class FusionEngine:
+    """Owns a FusionNetwork + weights; exposes one jit'd frame step."""
+
+    def __init__(self, model, params, state, frame_size=(640, 480),
+                 max_points=256, post_nms_iou=0.3, fold_bn=True):
+        self.model = model
+        if fold_bn:
+            fp, fs = model.darknet.fold_batchnorm(params["darknet"],
+                                                  state["darknet"])
+            params = dict(params, darknet=fp)
+            state = dict(state, darknet=fs)
+        self.params = params
+        self.state = state
+        self.frame_size = frame_size
+        self.max_points = max_points
+        self.post_nms_iou = post_nms_iou
+        self._steps = {}
+
+    # ------------------------------------------------------------------ jit
+    def _build_step(self, mode):
+        cfg = self.model.cfg
+        s = self.model.darknet.img_size
+        w, h = self.frame_size
+
+        def step(frame_u8, points, pmask, radar_boxes, radar_mask):
+            img, _ = lb.letterbox_image(frame_u8, s)
+            heat = radar_heatmap(points, pmask, (w, h))
+            heat, _ = lb.pad_to_square(heat, 0.0)
+            heat = lb.resize_bilinear_align_corners(heat, s // 16)
+            out = self.model.apply(
+                self.params, self.state, img[None], heat[None],
+                radar_boxes[None], radar_mask[None], mode=mode)
+            boxes, valid = out["boxes"][0], out["valid"][0]
+            # post-merge NMS across image+radar proposals (run_mp.py:320)
+            merged, mvalid = nms_xyxy(
+                boxes[:, :4], boxes[:, 4], boxes[:, 6].astype(jnp.int32),
+                valid, self.post_nms_iou, boxes.shape[0])
+            cam = rescale_boxes(merged[:, :4], s, (h, w))
+            merged = jnp.concatenate([cam, merged[:, 4:]], -1)
+            return merged, mvalid
+
+        return jax.jit(step, static_argnums=())
+
+    def step_fn(self, mode=0):
+        if mode not in self._steps:
+            self._steps[mode] = self._build_step(mode)
+        return self._steps[mode]
+
+    # ----------------------------------------------------------------- host
+    def pack_radar(self, points_uvzv, proposals_xyxy):
+        """Host-side padding of the radar pipeline outputs."""
+        from millieye_tpu.radar.pipeline import (normalize_boxes_to_padded,
+                                                 pad_rows)
+        pts, pmask = pad_rows(points_uvzv, self.max_points, 4)
+        norm, valid = normalize_boxes_to_padded(proposals_xyxy,
+                                                self.frame_size)
+        rb, rmask = pad_rows(norm, self.model.cfg.max_radar, 4)
+        rmask[:valid.shape[0]] &= valid[:self.model.cfg.max_radar]
+        return pts, pmask, rb, rmask
+
+    def infer(self, frame_u8, points_uvzv, proposals_xyxy, mode=0):
+        """Full frame step; returns (boxes [K, 7] camera coords, valid [K])."""
+        pts, pmask, rb, rmask = self.pack_radar(points_uvzv, proposals_xyxy)
+        step = self.step_fn(mode)
+        boxes, valid = step(jnp.asarray(frame_u8), pts, pmask, rb, rmask)
+        return np.asarray(boxes), np.asarray(valid)
+
+    def warmup(self, mode=0):
+        w, h = self.frame_size
+        frame = np.zeros((h, w, 3), np.uint8)
+        out = self.infer(frame, np.zeros((0, 4)), np.zeros((0, 4)), mode)
+        return out

@@ -1,0 +1,121 @@
+"""Streaming demo pipeline: host producer -> compiled TPU step.
+
+The reference demo (``run_mp.py``) pairs a producer *process* (video
+decode + radar tracking + CPU preprocessing) with a GPU consumer over an
+``mp.Queue(3)`` with drop-on-full, gated by an ``mp.Event`` warm-up
+(run_mp.py:147-152, 289-299). The TPU redesign keeps the same
+producer/consumer shape but:
+
+* the producer is a *thread* (decode + the tiny-N tracker release the
+  GIL or are microseconds of numpy) feeding raw, fixed-shape arrays;
+* preprocessing (letterbox, heatmap rasterize/resize) happens ON DEVICE
+  inside the one compiled step (runtime/engine.py), so the queue carries
+  a uint8 frame + a few KB of radar arrays instead of tensors;
+* warm-up is an explicit ``engine.warmup()`` compile before the producer
+  starts — no first-frame stall to gate around;
+* per-stage FPS comes from ``StageTimer`` (replacing the reference's
+  inline prints, run_sp.py:210-234).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+from millieye_tpu.collection.sync import (load_timestamps, load_pointcloud,
+                                          match_frames)
+from millieye_tpu.radar.pipeline import RadarPipeline, RadarParams
+from millieye_tpu.runtime.profiler import StageTimer
+
+
+class FrameSource:
+    """Recorded-session frame iterator (video.mp4 via OpenCV when present,
+    else a frames/*.jpg directory)."""
+
+    def __init__(self, rec_dir):
+        self.rec_dir = rec_dir
+
+    def __iter__(self):
+        from millieye_tpu.collection.prepare import iter_frames
+        return iter_frames(self.rec_dir)
+
+
+class StreamingPipeline:
+    """Producer thread (decode + radar tracking) -> bounded queue ->
+    compiled consumer step."""
+
+    def __init__(self, engine, rec_dir, calib, params: RadarParams = None,
+                 queue_size=3, mode=0):
+        self.engine = engine
+        self.rec_dir = rec_dir
+        self.params = params or RadarParams()
+        self.radar = RadarPipeline(calib, self.params)
+        self.q = queue.Queue(maxsize=queue_size)
+        self.timer = StageTimer(("track", "device", "e2e"))
+        self.mode = mode
+        self.dropped = 0
+
+    # -------------------------------------------------------------- producer
+    def _produce(self):
+        p = self.params
+        vtimes = load_timestamps(os.path.join(self.rec_dir, "timestamps.txt"))
+        rtimes, rframes = load_pointcloud(
+            os.path.join(self.rec_dir, "pointcloud.pkl"))
+        matches = match_frames(vtimes, rtimes, p.num_nearest)
+        overlay = []
+        for idx, frame in FrameSource(self.rec_dir):
+            if idx >= len(matches):
+                break
+            with self.timer("track"):
+                for ri in matches[idx]:
+                    overlay.append(rframes[ri])
+                overlay = overlay[-p.overlay_num:]
+                pts = (np.concatenate(overlay, axis=1) if overlay
+                       else np.zeros((4, 0)))
+                out = self.radar.process(pts)
+                packed = self.engine.pack_radar(out["points_uvzv"],
+                                                out["proposals"])
+            item = (idx, frame, packed)
+            # drop-on-full back-pressure (run_mp.py:151-152)
+            if self.q.full():
+                try:
+                    self.q.get_nowait()
+                    self.dropped += 1
+                except queue.Empty:
+                    pass
+            self.q.put(item)
+        self.q.put(None)
+
+    # -------------------------------------------------------------- consumer
+    def run(self, on_result=None, max_frames=None):
+        """Returns (n_frames, fps_report)."""
+        import time
+        self.engine.warmup(self.mode)
+        step = self.engine.step_fn(self.mode)
+        t = threading.Thread(target=self._produce, daemon=True)
+        t.start()
+
+        import jax
+        import jax.numpy as jnp
+        n = 0
+        t_start = time.perf_counter()
+        while True:
+            item = self.q.get()
+            if item is None:
+                break
+            idx, frame, (pts, pmask, rb, rmask) = item
+            with self.timer("device"):
+                boxes, valid = step(jnp.asarray(frame), pts, pmask, rb,
+                                    rmask)
+                jax.block_until_ready(valid)
+            if on_result is not None:
+                on_result(idx, np.asarray(boxes), np.asarray(valid))
+            n += 1
+            if max_frames and n >= max_frames:
+                break
+        wall = time.perf_counter() - t_start
+        report = dict(self.timer.report(), dropped=self.dropped,
+                      e2e_fps=round(n / wall, 1) if wall else 0.0)
+        return n, report

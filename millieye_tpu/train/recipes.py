@@ -1,0 +1,129 @@
+"""Epoch-level training recipes for the three stages.
+
+Library equivalents of the reference's ``train.py`` scripts:
+
+* stage 1  YOLO on image datasets           (module2_mixed/train.py, yolo)
+* stage 2  frozen YOLO + refinement heads   (module2_mixed/train.py)
+* stage 3  frozen image branch + radar/ensemble heads on the radar/camera
+           dataset                          (module3_our_dataset/train.py)
+
+Differences by design: one jit'd step per batch (forward+backward+update
+fused), padded fixed-shape batches (compile once; multiscale hits a small
+cache), checkpoint every epoch via io.checkpoint, metrics to JSONL (+TB
+when available), optional mesh for data-parallel scaling.
+
+Radar heatmaps are rasterized ON DEVICE from the padded point clouds
+inside a tiny jit'd ingest fn — the reference rasterizes per-item in
+DataLoader workers with np.histogram2d (datasets.py:56-106).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from millieye_tpu.io.checkpoint import save_checkpoint, load_checkpoint
+from millieye_tpu.ops import letterbox as lb
+from millieye_tpu.ops.rasterize import radar_heatmap
+from millieye_tpu.train.logging import MetricsLogger
+from millieye_tpu.train.optim import (frozen_adam, STAGE2_FROZEN,
+                                      STAGE3_FROZEN)
+from millieye_tpu.train.steps import (init_train_state, make_yolo_train_step,
+                                      make_refine_train_step,
+                                      make_fusion_train_step)
+
+
+@functools.lru_cache(maxsize=8)
+def _map_ingest(frame_size, img_size):
+    @jax.jit
+    def ingest(points, pmask):
+        def one(p, m):
+            heat = radar_heatmap(p, m, frame_size)
+            heat, _ = lb.pad_to_square(heat, 0.0)
+            return lb.resize_bilinear_align_corners(heat, img_size // 16)
+        return jax.vmap(one)(points, pmask)
+    return ingest
+
+
+def fusion_device_batch(batch, img_size):
+    """Collated host batch -> device batch with rasterized radar maps."""
+    out = {k: jnp.asarray(v) for k, v in batch.items()
+           if k not in ("paths", "frame_size", "radar_points", "pmask")}
+    if "radar_points" in batch:
+        w, h = batch.get("frame_size", (640, 480))
+        ingest = _map_ingest((int(w), int(h)), img_size)
+        out["radar_maps"] = ingest(jnp.asarray(batch["radar_points"]),
+                                   jnp.asarray(batch["pmask"]))
+    return out
+
+
+class Trainer:
+    """Shared epoch loop: step fn + loader + logging + checkpoints."""
+
+    def __init__(self, step_fn, train_state, ckpt_dir, logdir=None,
+                 log_every=10, name="stage"):
+        self.step = jax.jit(step_fn, donate_argnums=(0,))
+        self.ts = train_state
+        self.ckpt_dir = ckpt_dir
+        self.logger = MetricsLogger(logdir or os.path.join(ckpt_dir, "logs"))
+        self.log_every = log_every
+        self.name = name
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def fit(self, loader, epochs, rng, batch_fn, on_epoch_end=None):
+        step_no = int(self.ts.step)
+        for epoch in range(epochs):
+            for batch in loader:
+                rng, sub = jax.random.split(rng)
+                self.ts, metrics = self.step(self.ts, batch_fn(batch), sub)
+                step_no += 1
+                if step_no % self.log_every == 0:
+                    self.logger.scalars(
+                        step_no,
+                        {k: v for k, v in metrics.items()
+                         if jnp.ndim(v) == 0})
+            self.save(epoch)
+            if on_epoch_end:
+                on_epoch_end(epoch, self.ts)
+        return self.ts
+
+    def save(self, epoch):
+        path = os.path.join(self.ckpt_dir, f"{self.name}_ckpt_{epoch}.npz")
+        save_checkpoint(path, {"params": self.ts.params,
+                               "state": self.ts.state})
+        return path
+
+    def resume(self, path):
+        restored = load_checkpoint(path, {"params": self.ts.params,
+                                          "state": self.ts.state})
+        self.ts = self.ts._replace(params=restored["params"],
+                                   state=restored["state"])
+
+
+def yolo_trainer(model, params, state, ckpt_dir, lr=1e-3, every_k=2):
+    tx = frozen_adam(params, lr=lr, every_k=every_k)
+    ts = init_train_state(params, state, tx)
+    return Trainer(make_yolo_train_step(model, tx), ts, ckpt_dir,
+                   name="yolo")
+
+
+def refine_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2):
+    tx = frozen_adam(params, lr=lr, frozen_prefixes=STAGE2_FROZEN,
+                     every_k=every_k)
+    ts = init_train_state(params, state, tx)
+    return Trainer(make_refine_train_step(model, tx), ts, ckpt_dir,
+                   name="module2")
+
+
+def fusion_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2,
+                   mode=0, freeze_module2=True):
+    tx = frozen_adam(params, lr=lr,
+                     frozen_prefixes=STAGE3_FROZEN if freeze_module2 else
+                     (("darknet",),),
+                     every_k=every_k)
+    ts = init_train_state(params, state, tx)
+    return Trainer(make_fusion_train_step(model, tx, mode), ts, ckpt_dir,
+                   name="module3")

@@ -1,0 +1,113 @@
+"""Jit-compiled train steps for the three training stages.
+
+Each ``make_*_train_step`` returns a pure function
+``step(train_state, batch, rng) -> (train_state, metrics)`` suitable for
+``jax.jit`` (donate the train state) or for sharded execution via
+``millieye_tpu.parallel``. This replaces the reference's imperative epoch
+loops (``module2_mixed/train.py:126-166``, ``module3_our_dataset/
+train.py:167-240``) where forward, backward and the optimizer ran as
+separate CUDA launches — here one XLA program does forward + backward +
+(accumulated) update per step.
+
+BatchNorm discipline (train.py:169-170): the base detector's BN always
+uses running statistics (``Darknet.apply(train=False)`` semantics inside
+the fusion graphs), while head BNs update — the fusion models already
+implement this; stage-1 YOLO training updates backbone BN normally.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from millieye_tpu.models.yolo_head import yolo_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    state: Any          # BN running statistics
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_train_state(params, state, tx):
+    return TrainState(params, state, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def _apply(tx, ts, grads, new_bn_state):
+    updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+    params = optax.apply_updates(ts.params, updates)
+    return TrainState(params, new_bn_state, opt_state, ts.step + 1)
+
+
+def make_yolo_train_step(model, tx):
+    """Stage 1: full YOLO training (module2_mixed/train.py 'yolo' phase)."""
+
+    def step(ts: TrainState, batch, rng=None):
+        images, targets, tmask = (batch["images"], batch["targets"],
+                                  batch["tmask"])
+
+        def loss_fn(params):
+            out = model.apply(params, ts.state, images, train=True)
+            loss, per_scale = yolo_loss(
+                out["preds"], model.anchors_per_scale, images.shape[1],
+                targets, tmask)
+            return loss, (out["state"], per_scale)
+
+        (loss, (bn_state, per_scale)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params)
+        metrics = {"loss": loss}
+        for i, m in enumerate(per_scale):
+            metrics.update({f"scale{i}/{k}": v for k, v in m.items()})
+        return _apply(tx, ts, grads, bn_state), metrics
+
+    return step
+
+
+def make_refine_train_step(model, tx):
+    """Stage 2: frozen YOLO + refinement/ensemble heads
+    (module2_mixed/train.py:126-166)."""
+
+    def step(ts: TrainState, batch, rng):
+        images, targets, tmask = (batch["images"], batch["targets"],
+                                  batch["tmask"])
+
+        def loss_fn(params):
+            out = model.apply(params, ts.state, images, train=True,
+                              targets=targets, tmask=tmask, rng=rng)
+            return out["loss"], (out["state"], out["metrics"])
+
+        (loss, (bn_state, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params)
+        # stage 2 keeps the base detector's BN stats frozen: reuse them
+        bn_state = dict(bn_state)
+        bn_state["darknet"] = ts.state["darknet"]
+        metrics = dict(metrics, loss=loss)
+        return _apply(tx, ts, grads, bn_state), metrics
+
+    return step
+
+
+def make_fusion_train_step(model, tx, mode=0):
+    """Stage 3: frozen YOLO + frozen module2 branch, radar/ensemble train
+    (module3_our_dataset/train.py:167-240)."""
+
+    def step(ts: TrainState, batch, rng):
+        def loss_fn(params):
+            out = model.apply(
+                params, ts.state, batch["images"], batch["radar_maps"],
+                batch["radar_boxes"], batch["rmask"], mode=mode,
+                train=True, targets=batch["targets"],
+                tmask=batch["tmask"], rng=rng)
+            return out["loss"], (out["state"], out["metrics"])
+
+        (loss, (bn_state, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params)
+        bn_state = dict(bn_state)
+        bn_state["darknet"] = ts.state["darknet"]
+        metrics = dict(metrics, loss=loss)
+        return _apply(tx, ts, grads, bn_state), metrics
+
+    return step

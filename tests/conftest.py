@@ -3,13 +3,21 @@
 Multi-device tests use the standard JAX fake-backend trick
 (``--xla_force_host_platform_device_count``) so the pmap/pjit paths are
 exercised without TPU hardware (SURVEY.md §4c).
+
+NOTE: this environment's site hook imports jax at interpreter startup, so
+``JAX_PLATFORMS`` from the shell is already consumed; the platform must be
+switched via ``jax.config`` instead (XLA_FLAGS is still read lazily at
+first backend init, so setting it here is in time).
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,132 @@
+"""Behavioral tests for the fusion networks (small shapes, CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from millieye_tpu.models import Darknet, tiny_yolov3_defs
+from millieye_tpu.models.fusion import FusionConfig, FusionNetwork, RefineNetwork
+
+S = 128  # image size -> 8x8 feature grid
+
+
+@pytest.fixture(scope="module")
+def net():
+    darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S), img_size=S)
+    # max_det large enough that some class-0 image detections survive the
+    # top-k under random weights (argmax class is ~uniform over 12)
+    # class_idx=8: random conv weights correlate class logits across the
+    # grid, collapsing argmax onto one class — point the keep-filter at it
+    # so image proposals exist (module3 uses class_idx=0 with real weights)
+    cfg = FusionConfig(conf_thresh=0.05, max_det=48, max_radar=4,
+                       pre_nms_top_k=128, class_idx=8)
+    model = FusionNetwork(darknet, cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    return model, params, state
+
+
+def inputs(rng, b=2, r=4):
+    images = rng.uniform(size=(b, S, S, 3)).astype(np.float32)
+    maps = rng.uniform(size=(b, S // 16, S // 16, 3)).astype(np.float32)
+    rb = np.zeros((b, r, 4), np.float32)
+    rb[..., :2] = rng.uniform(0.1, 0.5, size=(b, r, 2))
+    rb[..., 2:] = rb[..., :2] + rng.uniform(0.1, 0.4, size=(b, r, 2))
+    rmask = np.ones((b, r), bool)
+    rmask[:, -1] = False
+    return (jnp.asarray(images), jnp.asarray(maps), jnp.asarray(rb),
+            jnp.asarray(rmask))
+
+
+def test_forward_modes(net, rng):
+    model, params, state = net
+    images, maps, rb, rmask = inputs(rng)
+    for mode in (0, 1, 2):
+        out = model.apply(params, state, images, maps, rb, rmask, mode=mode)
+        assert np.isfinite(np.asarray(out["boxes"])).all()
+        if mode == 1:
+            assert out["boxes"].shape == (2, 48, 7)
+        else:
+            assert out["boxes"].shape == (2, 52, 7)
+    # radar-only mode keeps at most the valid radar proposals
+    out2 = model.apply(params, state, images, maps, rb, rmask, mode=2)
+    assert int(np.asarray(out2["valid"]).sum()) <= int(np.asarray(rmask).sum())
+
+
+def test_radar_padding_invariance(net, rng):
+    model, params, state = net
+    images, maps, rb, rmask = inputs(rng)
+    out1 = model.apply(params, state, images, maps, rb, rmask, mode=0)
+    rb2 = np.array(rb)
+    rb2[:, -1] = [0.2, 0.2, 0.9, 0.9]  # garbage in masked slot
+    out2 = model.apply(params, state, images, jnp.asarray(maps),
+                       jnp.asarray(rb2), rmask, mode=0)
+    v1, v2 = np.asarray(out1["valid"]), np.asarray(out2["valid"])
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_allclose(np.asarray(out1["boxes"])[v1],
+                               np.asarray(out2["boxes"])[v2], rtol=1e-5)
+
+
+def make_targets(rng, b=2, t=5):
+    targets = np.zeros((b, t, 5), np.float32)
+    targets[..., 1:3] = rng.uniform(0.2, 0.8, size=(b, t, 2))
+    targets[..., 3:5] = rng.uniform(0.1, 0.3, size=(b, t, 2))
+    tmask = np.ones((b, t), bool)
+    tmask[:, -1] = False
+    return jnp.asarray(targets), jnp.asarray(tmask)
+
+
+def test_training_step_grads(net, rng):
+    model, params, state = net
+    images, maps, rb, rmask = inputs(rng)
+    # targets that overlap real proposals (otherwise the reference's
+    # balanced sampling selects nothing and every loss is legitimately 0)
+    ev = model.apply(params, state, images, maps, rb, rmask, mode=0)
+    out_boxes = np.asarray(ev["boxes"])
+    boxes = out_boxes[:, :, :4] / S
+    valid = np.asarray(ev["valid"])
+    targets_np = np.zeros((2, 5, 5), np.float32)
+    tmask_np = np.zeros((2, 5), bool)
+    for b in range(2):
+        picks = np.where(valid[b])[0][:5]
+        for j, k in enumerate(picks):
+            x1, y1, x2, y2 = np.clip(boxes[b, k], 0.0, 1.0)
+            targets_np[b, j] = (out_boxes[b, k, 6],      # match class_pred
+                                (x1 + x2) / 2, (y1 + y2) / 2,
+                                max(x2 - x1, 1e-3), max(y2 - y1, 1e-3))
+            tmask_np[b, j] = True
+    assert tmask_np.any(), "fixture produced no proposals at all"
+    targets, tmask = jnp.asarray(targets_np), jnp.asarray(tmask_np)
+
+    def loss_fn(p):
+        out = model.apply(p, state, images, maps, rb, rmask, mode=0,
+                          train=True, targets=targets, tmask=tmask,
+                          rng=jax.random.PRNGKey(1))
+        return out["loss"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    # backbone is frozen by stop_gradient at the feature tap + NMS detach
+    d_norm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["darknet"]))
+    assert d_norm == 0.0
+    # fusion heads receive gradient
+    for key in ("img_cnn", "radar_enc", "refine", "ensemble"):
+        n = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads[key]))
+        assert n > 0.0, key
+
+
+def test_refine_network_module2(rng):
+    darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S), img_size=S)
+    cfg = FusionConfig(conf_thresh=0.05, class_num=12, max_det=16,
+                       pre_nms_top_k=64, loss_variant="module2",
+                       loss_lambda=(15.0, 5.0))
+    model = RefineNetwork(darknet, cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    images = jnp.asarray(rng.uniform(size=(2, S, S, 3)).astype(np.float32))
+    out = model.apply(params, state, images)
+    assert out["boxes"].shape == (2, 16, 7)
+    assert np.isfinite(np.asarray(out["boxes"])).all()
+
+    targets, tmask = make_targets(rng)
+    tr = model.apply(params, state, images, train=True, targets=targets,
+                     tmask=tmask, rng=jax.random.PRNGKey(3))
+    assert np.isfinite(float(tr["loss"]))

@@ -109,3 +109,19 @@ def test_nms_xyxy_direct(rng):
     assert got.shape[0] == len(keep)
     np.testing.assert_allclose(got[:, :4], boxes[keep], rtol=1e-5)
     np.testing.assert_allclose(got[:, 4], scores[keep], rtol=1e-5)
+
+
+def test_fixpoint_keep_mask_equals_sequential(rng):
+    """The fast fixpoint NMS must match the sequential greedy exactly."""
+    from millieye_tpu.ops.nms import nms_keep_mask, nms_keep_mask_ref
+    import jax.numpy as jnp
+    for trial in range(20):
+        k = 64
+        xy = rng.uniform(0, 300, size=(k, 2))
+        wh = rng.uniform(5, 120, size=(k, 2))
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+        valid = jnp.asarray(rng.uniform(size=k) > 0.2)
+        for thr in (0.3, 0.5, 0.7):
+            fast = np.asarray(nms_keep_mask(boxes, valid, thr))
+            ref = np.asarray(nms_keep_mask_ref(boxes, valid, thr))
+            np.testing.assert_array_equal(fast, ref)

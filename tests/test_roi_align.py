@@ -1,0 +1,131 @@
+"""RoIAlign / PSRoIAlign vs. an independent looped numpy reference.
+
+The reference below transcribes the published torchvision kernel algorithm
+(adaptive sampling, bilinear taps, border behavior) in plain loops; the
+framework op must match it exactly. torchvision itself is not in this
+image — when it is available, these cases double as cross-checks.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from millieye_tpu.ops.roi_align import roi_align, ps_roi_align
+
+
+def bilinear(fm, y, x):
+    """fm [H, W, C]; torchvision bilinear_interpolate semantics."""
+    h, w = fm.shape[:2]
+    if y < -1.0 or y > h or x < -1.0 or x > w:
+        return np.zeros(fm.shape[-1])
+    y = min(max(y, 0.0), h - 1)
+    x = min(max(x, 0.0), w - 1)
+    y0, x0 = int(np.floor(y)), int(np.floor(x))
+    y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+    ly, lx = y - y0, x - x0
+    return ((1 - ly) * (1 - lx) * fm[y0, x0] + (1 - ly) * lx * fm[y0, x1]
+            + ly * (1 - lx) * fm[y1, x0] + ly * lx * fm[y1, x1])
+
+
+def np_roi_align(features, rois, out_size, scale, sampling_ratio=-1):
+    ph, pw = out_size
+    outs = []
+    for roi in rois:
+        b = int(roi[0])
+        fm = features[b]
+        sx, sy = roi[1] * scale, roi[2] * scale
+        rw = max(roi[3] * scale - sx, 1.0)
+        rh = max(roi[4] * scale - sy, 1.0)
+        bh, bw = rh / ph, rw / pw
+        gh = sampling_ratio if sampling_ratio > 0 else int(np.ceil(rh / ph))
+        gw = sampling_ratio if sampling_ratio > 0 else int(np.ceil(rw / pw))
+        out = np.zeros((ph, pw, fm.shape[-1]))
+        for i in range(ph):
+            for j in range(pw):
+                acc = 0.0
+                for iy in range(gh):
+                    for ix in range(gw):
+                        y = sy + i * bh + (iy + 0.5) * bh / gh
+                        x = sx + j * bw + (ix + 0.5) * bw / gw
+                        acc = acc + bilinear(fm, y, x)
+                out[i, j] = acc / (gh * gw)
+        outs.append(out)
+    return np.stack(outs)
+
+
+def np_ps_roi_align(features, rois, out_size, scale, sampling_ratio=-1):
+    ph, pw = out_size
+    c_in = features.shape[-1]
+    c_out = c_in // (ph * pw)
+    outs = []
+    for roi in rois:
+        b = int(roi[0])
+        fm = features[b]
+        sx = roi[1] * scale - 0.5
+        sy = roi[2] * scale - 0.5
+        rw = max(roi[3] * scale - sx - 0.5, 0.1)
+        rh = max(roi[4] * scale - sy - 0.5, 0.1)
+        bh, bw = rh / ph, rw / pw
+        gh = sampling_ratio if sampling_ratio > 0 else int(np.ceil(rh / ph))
+        gw = sampling_ratio if sampling_ratio > 0 else int(np.ceil(rw / pw))
+        gh, gw = max(gh, 1), max(gw, 1)
+        out = np.zeros((ph, pw, c_out))
+        for i in range(ph):
+            for j in range(pw):
+                # torch channel order: c_in = (c_out*ph + i)*pw + j
+                ch = np.array([(c * ph + i) * pw + j for c in range(c_out)])
+                acc = 0.0
+                for iy in range(gh):
+                    for ix in range(gw):
+                        y = sy + i * bh + (iy + 0.5) * bh / gh
+                        x = sx + j * bw + (ix + 0.5) * bw / gw
+                        acc = acc + bilinear(fm[..., ch], y, x)
+                out[i, j] = acc / (gh * gw)
+        outs.append(out)
+    return np.stack(outs)
+
+
+def make_rois(rng, n_img, k, img=416):
+    rois = np.zeros((k, 5), np.float32)
+    rois[:, 0] = rng.integers(0, n_img, size=k)
+    xy = rng.uniform(0, img - 40, size=(k, 2))
+    wh = rng.uniform(8, img / 2, size=(k, 2))
+    rois[:, 1:3] = xy
+    rois[:, 3:5] = np.minimum(xy + wh, img - 1)
+    return rois
+
+
+def test_roi_align_matches_reference(rng):
+    feats = rng.normal(size=(2, 26, 26, 10)).astype(np.float32)
+    rois = make_rois(rng, 2, 12)
+    got = np.asarray(roi_align(jnp.asarray(feats), jnp.asarray(rois),
+                               (7, 7), 1 / 16, sampling_max=4))
+    want = np_roi_align(feats, rois, (7, 7), 1 / 16)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_fixed_sampling(rng):
+    feats = rng.normal(size=(1, 16, 16, 4)).astype(np.float32)
+    rois = make_rois(rng, 1, 5, img=256)
+    got = np.asarray(roi_align(jnp.asarray(feats), jnp.asarray(rois),
+                               (3, 3), 1 / 16, sampling_ratio=2, sampling_max=4))
+    want = np_roi_align(feats, rois, (3, 3), 1 / 16, sampling_ratio=2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ps_roi_align_matches_reference(rng):
+    # 490 = 10 * 7 * 7, the fusion score-map shape (my_models.py:486,495)
+    feats = rng.normal(size=(2, 26, 26, 490)).astype(np.float32)
+    rois = make_rois(rng, 2, 8)
+    got = np.asarray(ps_roi_align(jnp.asarray(feats), jnp.asarray(rois),
+                                  (7, 7), 1 / 16, sampling_max=4))
+    want = np_ps_roi_align(feats, rois, (7, 7), 1 / 16)
+    assert got.shape == (8, 7, 7, 10)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_degenerate_rois_no_nan(rng):
+    feats = rng.normal(size=(1, 26, 26, 49)).astype(np.float32)
+    rois = np.zeros((4, 5), np.float32)  # zero-area padded rois
+    out1 = np.asarray(roi_align(jnp.asarray(feats), jnp.asarray(rois)))
+    out2 = np.asarray(ps_roi_align(jnp.asarray(feats), jnp.asarray(rois)))
+    assert np.isfinite(out1).all() and np.isfinite(out2).all()

@@ -1,0 +1,104 @@
+"""Streaming runtime tests: compiled engine step + producer/consumer
+pipeline over a synthetic recording (small shapes, CPU)."""
+import os
+import pickle
+
+import numpy as np
+import jax
+import pytest
+
+from millieye_tpu.models import Darknet, tiny_yolov3_defs
+from millieye_tpu.models.fusion import FusionConfig, FusionNetwork
+from millieye_tpu.runtime.engine import FusionEngine
+from millieye_tpu.runtime.stream import StreamingPipeline
+from millieye_tpu.runtime.profiler import StageTimer
+from millieye_tpu.radar.pipeline import RadarParams
+
+S = 128
+FRAME = (64, 48)        # (w, h)
+CALIB = np.array([40.0, 32.0, 40.0, 24.0,   # fx cx fy cy
+                  0, 0, 0, 0, 0,            # no distortion
+                  0, 0, 0], np.float64)     # no translation
+
+
+@pytest.fixture(scope="module")
+def engine():
+    darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S),
+                      img_size=S)
+    cfg = FusionConfig(conf_thresh=0.05, max_det=16, max_radar=4,
+                       pre_nms_top_k=64)
+    model = FusionNetwork(darknet, cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    return FusionEngine(model, params, state, frame_size=FRAME,
+                        max_points=32)
+
+
+def test_engine_infer_shapes(engine, rng):
+    frame = (rng.uniform(size=(FRAME[1], FRAME[0], 3)) * 255).astype(np.uint8)
+    pts = np.array([[10.0, 10.0, 2.0, 1.0], [30.0, 20.0, 3.0, -0.5]])
+    props = np.array([[5.0, 5.0, 30.0, 40.0]])
+    boxes, valid = engine.infer(frame, pts, props, mode=0)
+    # post-merge rows are (x1, y1, x2, y2, score, label)
+    assert boxes.shape[1] == 6 and boxes.shape[0] == valid.shape[0]
+    assert np.isfinite(boxes).all()
+    # camera-coordinate outputs stay in frame bounds for valid rows
+    if valid.any():
+        vb = boxes[valid]
+        assert (vb[:, 0] >= -FRAME[0]).all() and (vb[:, 2] <= 2 * FRAME[0]).all()
+
+
+def test_engine_empty_radar(engine):
+    """Radar dropout path (SURVEY §5: degenerate inputs are behavioral
+    requirements)."""
+    frame = np.zeros((FRAME[1], FRAME[0], 3), np.uint8)
+    boxes, valid = engine.infer(frame, np.zeros((0, 4)), np.zeros((0, 4)),
+                                mode=0)
+    assert boxes.shape[1] == 6
+    assert np.isfinite(boxes).all()
+
+
+def _write_recording(root, n_frames=4):
+    from PIL import Image
+    os.makedirs(os.path.join(root, "frames"), exist_ok=True)
+    rng = np.random.default_rng(1)
+    with open(os.path.join(root, "timestamps.txt"), "w") as f:
+        for i in range(n_frames):
+            f.write(f"{100.0 + 0.05 * i} {i}\n")
+    for i in range(n_frames):
+        img = (rng.uniform(size=(FRAME[1], FRAME[0], 3)) * 255).astype(
+            np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(root, "frames", f"{i:06d}.jpg"))
+    records = []
+    for i in range(n_frames):
+        n = 6
+        records.append({
+            "Data": {"numObj": n,
+                     "x": rng.uniform(-0.5, 0.5, n),
+                     "y": rng.uniform(1.0, 3.0, n),     # forward depth
+                     "z": rng.uniform(-0.2, 0.2, n),
+                     "velocity": rng.uniform(-1, 1, n)},
+            "Time": 100.0 + 0.05 * i, "Frame_ID": i})
+    with open(os.path.join(root, "pointcloud.pkl"), "wb") as f:
+        pickle.dump(records, f)
+
+
+def test_streaming_pipeline_end_to_end(engine, tmp_path):
+    rec = str(tmp_path / "rec")
+    _write_recording(rec)
+    params = RadarParams(frame_size=FRAME, num_pts_filter=1, min_hits=1,
+                         min_velocity=0.0)
+    pipe = StreamingPipeline(engine, rec, CALIB, params, mode=0)
+    results = []
+    n, report = pipe.run(on_result=lambda i, b, v: results.append(i))
+    assert n == 4
+    assert report["e2e_fps"] > 0
+    assert results == [0, 1, 2, 3]
+
+
+def test_stage_timer():
+    t = StageTimer(("a",))
+    with t("a"):
+        pass
+    assert t.fps("a") > 0
+    assert "a" in t.report()

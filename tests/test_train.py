@@ -1,0 +1,138 @@
+"""Train-step + optimizer + checkpoint tests (small shapes, CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from millieye_tpu.models import Darknet, tiny_yolov3_defs
+from millieye_tpu.models.fusion import FusionConfig, FusionNetwork
+from millieye_tpu.train import (frozen_adam, STAGE3_FROZEN, label_tree,
+                                make_fusion_train_step, make_yolo_train_step)
+from millieye_tpu.train.steps import init_train_state
+from millieye_tpu.io.checkpoint import save_checkpoint, load_checkpoint
+
+S = 128
+
+
+@pytest.fixture(scope="module")
+def fusion():
+    darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S), img_size=S)
+    cfg = FusionConfig(conf_thresh=0.05, max_det=16, max_radar=4,
+                       pre_nms_top_k=64)
+    model = FusionNetwork(darknet, cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    return model, params, state
+
+
+def fusion_batch(rng, b=2):
+    rb = np.zeros((b, 4, 4), np.float32)
+    rb[..., :2] = rng.uniform(0.1, 0.5, size=(b, 4, 2))
+    rb[..., 2:] = rb[..., :2] + 0.3
+    targets = np.zeros((b, 5, 5), np.float32)
+    targets[..., 1:3] = rng.uniform(0.3, 0.7, size=(b, 5, 2))
+    targets[..., 3:5] = rng.uniform(0.1, 0.2, size=(b, 5, 2))
+    return {
+        "images": rng.uniform(size=(b, S, S, 3)).astype(np.float32),
+        "radar_maps": rng.uniform(size=(b, S // 16, S // 16, 3)).astype(
+            np.float32),
+        "radar_boxes": rb,
+        "rmask": np.ones((b, 4), bool),
+        "targets": targets,
+        "tmask": np.ones((b, 5), bool),
+    }
+
+
+def test_label_tree_marks_frozen(fusion):
+    _, params, _ = fusion
+    labels = label_tree(params, STAGE3_FROZEN)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    freeze = [p for p, l in flat if l == "freeze"]
+    train = [p for p, l in flat if l == "train"]
+    assert freeze and train
+    # everything under darknet and img_cnn frozen; radar_enc trainable
+    for path, label in flat:
+        top = str(path[0].key)
+        if top in ("darknet", "img_cnn"):
+            assert label == "freeze", path
+        if top in ("radar_enc", "ensemble"):
+            assert label == "train", path
+
+
+def test_fusion_train_step_freezes_subtree(fusion, rng):
+    model, params, state = fusion
+    tx = frozen_adam(params, lr=1e-3, frozen_prefixes=STAGE3_FROZEN,
+                     every_k=1)
+    ts = init_train_state(params, state, tx)
+    step = jax.jit(make_fusion_train_step(model, tx))
+    batch = fusion_batch(rng)
+    ts2, metrics = step(ts, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(ts2.step) == 1
+    # frozen leaves bit-identical
+    for a, b in zip(jax.tree.leaves(params["img_cnn"]),
+                    jax.tree.leaves(ts2.params["img_cnn"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(params["darknet"]),
+                    jax.tree.leaves(ts2.params["darknet"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accumulation_updates_every_k(fusion, rng):
+    model, params, state = fusion
+    tx = frozen_adam(params, lr=1e-3, frozen_prefixes=STAGE3_FROZEN,
+                     every_k=2)
+    ts = init_train_state(params, state, tx)
+    step = jax.jit(make_fusion_train_step(model, tx))
+    batch = fusion_batch(rng)
+    ts1, _ = step(ts, batch, jax.random.PRNGKey(1))
+    # after 1 micro-step params unchanged (accumulating)
+    for a, b in zip(jax.tree.leaves(params["radar_enc"]),
+                    jax.tree.leaves(ts1.params["radar_enc"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(ts1.opt_state.mini_step) == 1
+    assert int(ts1.opt_state.gradient_step) == 0
+    ts2, _ = step(ts1, batch, jax.random.PRNGKey(2))
+    # second micro-step closes the accumulation window (train.py:188-191)
+    assert int(ts2.opt_state.mini_step) == 0
+    assert int(ts2.opt_state.gradient_step) == 1
+
+
+def test_yolo_train_step_updates_backbone(rng):
+    darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S),
+                      img_size=S)
+    params, state = darknet.init(jax.random.PRNGKey(0))
+    tx = frozen_adam(params, lr=1e-3, every_k=1)
+    ts = init_train_state(params, state, tx)
+    step = jax.jit(make_yolo_train_step(darknet, tx))
+    batch = {
+        "images": rng.uniform(size=(2, S, S, 3)).astype(np.float32),
+        "targets": fusion_batch(rng)["targets"],
+        "tmask": np.ones((2, 5), bool),
+    }
+    ts2, metrics = step(ts, batch, None)
+    assert np.isfinite(float(metrics["loss"]))
+    diff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree.leaves(params), jax.tree.leaves(ts2.params)))
+    assert diff > 0.0
+    # BN running stats moved
+    sdiff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree.leaves(state), jax.tree.leaves(ts2.state)))
+    assert sdiff > 0.0
+
+
+def test_checkpoint_roundtrip(tmp_path, fusion):
+    model, params, state = fusion
+    tree = {"params": params, "state": state, "step": jnp.ones(())}
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, tree)
+    restored = load_checkpoint(path, tree)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_rejects_mismatched_template(tmp_path, fusion):
+    model, params, state = fusion
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, {"params": params})
+    with pytest.raises(ValueError):
+        load_checkpoint(path, {"params": params, "extra": jnp.zeros(3)})
