@@ -4,3 +4,10 @@ from millieye_tpu.eval.metrics import (
     get_batch_statistics,
     iou_np,
 )
+from millieye_tpu.eval.harness import (
+    evaluate_yolo,
+    evaluate_refine,
+    evaluate_fusion,
+    summarize,
+    save_pr_curve,
+)

@@ -149,3 +149,28 @@ def summarize(result, class_names=None):
     m_ap = float(np.mean(ap)) if len(ap) else 0.0
     lines.append(f"mAP: {m_ap:.4f}")
     return "\n".join(lines), m_ap
+
+
+def save_pr_curve(result, path, title="PR curve"):
+    """Write the global PR-curve artifact (test_fusion.py:195-208 /
+    test_module2.py:168-187 equivalent). Returns the path or None."""
+    if result is None:
+        return None
+    curve = result[5]
+    if not hasattr(curve[0], "__len__"):
+        return None
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    precision, recall = curve
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.plot(recall, precision)
+    ax.set_xlabel("recall")
+    ax.set_ylabel("precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1.05)
+    ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path

@@ -67,6 +67,9 @@ class FusionConfig:
     refine_threshold_radar: float = 0.0
     loss_variant: str = "module3"        # or "module2"
     sampling_max: int = 4                # RoIAlign adaptive grid bound
+    compute_dtype: str = "float32"       # backbone conv dtype; "bfloat16"
+                                         # runs the MXU at 2x (decode/NMS/
+                                         # heads stay float32 for parity)
 
 
 class FusionNetwork:
@@ -110,7 +113,9 @@ class FusionNetwork:
         k_img, r_rad = cfg.max_det, cfg.max_radar
 
         # 1. frozen base detector (eval-mode BN always, train.py:169-170)
-        d_out = self.darknet.apply(params["darknet"], state["darknet"], images)
+        d_out = self.darknet.apply(params["darknet"], state["darknet"],
+                                   images,
+                                   compute_dtype=jnp.dtype(cfg.compute_dtype))
         feature_map = d_out["feature_map"]
         det, det_valid = batched_nms(
             d_out["detections"], cfg.conf_thresh, cfg.nms_thresh,
@@ -341,7 +346,9 @@ class RefineNetwork:
         b_sz, img_size = images.shape[0], images.shape[1]
         k_img = cfg.max_det
 
-        d_out = self.darknet.apply(params["darknet"], state["darknet"], images)
+        d_out = self.darknet.apply(params["darknet"], state["darknet"],
+                                   images,
+                                   compute_dtype=jnp.dtype(cfg.compute_dtype))
         det, det_valid = batched_nms(
             d_out["detections"], cfg.conf_thresh, cfg.nms_thresh,
             max_det=k_img, pre_top_k=cfg.pre_nms_top_k)

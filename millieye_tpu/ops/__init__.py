@@ -8,4 +8,18 @@ from millieye_tpu.ops.boxes import (
     box_regress,
     encode_boxes,
 )
-from millieye_tpu.ops.nms import batched_nms, nms_keep_mask
+from millieye_tpu.ops.nms import (
+    batched_nms,
+    nms_xyxy,
+    nms_keep_mask,
+    nms_keep_mask_ref,
+)
+from millieye_tpu.ops.roi_align import roi_align, ps_roi_align
+from millieye_tpu.ops.rasterize import radar_heatmap, heatmap_bins
+from millieye_tpu.ops.letterbox import (
+    letterbox_image,
+    pad_to_square,
+    resize_nearest,
+    resize_bilinear_align_corners,
+)
+from millieye_tpu.ops.targets import build_targets

@@ -77,8 +77,79 @@ def _grid_counts(roi_h, roi_w, ph, pw, sampling_ratio, smax):
     return jnp.clip(gh, 1, smax), jnp.clip(gw, 1, smax)
 
 
+def _interp_matrix(start, roi_size, bins, grid_n, smax, size):
+    """Separable interpolation operator for one axis: M [K, bins, size]
+    with sum_h M[k, p, h] * F[h, ...] = the tap-averaged bilinear sample
+    of bin p along this axis (weights fold in sample validity, the
+    outside-[-1, size) zero rule, border clamping, and the 1/grid_n
+    average).
+
+    Bilinear weights are products of 1D hat functions and the tap average
+    is linear in F, so 2D RoIAlign factorizes exactly into two of these
+    matrices — turning the gather-per-tap formulation into two batched
+    matmuls that run on the MXU with zero gathers (the TPU-native design;
+    gathers serialize on TPU, matmuls are its fast path).
+    """
+    pos, valid = _bin_samples(start, roi_size, bins, grid_n, smax)
+    inside = (pos > -1.0) & (pos < size)
+    wv = (valid & inside).astype(jnp.float32)
+    p = jnp.clip(pos, 0.0, size - 1)
+    p0 = jnp.floor(p)
+    frac = p - p0
+    p0i = p0.astype(jnp.int32)
+    p1i = jnp.minimum(p0i + 1, size - 1)
+    hh = jnp.arange(size)
+    lo = (p0i[..., None] == hh) * ((1 - frac) * wv)[..., None]
+    hi = (p1i[..., None] == hh) * (frac * wv)[..., None]
+    return (lo + hi).sum(axis=2) / grid_n[:, None, None]
+
+
+def _per_image(batch, n, out_of):
+    """Accumulate a per-image computation over the static batch dim."""
+    out = None
+    for b in range(n):
+        o = out_of(b)
+        sel = (batch == b)[:, None, None, None]
+        out = jnp.where(sel, o, 0.0) if out is None else (
+            out + jnp.where(sel, o, 0.0))
+    return out
+
+
 def roi_align(features, rois, output_size=(7, 7), spatial_scale=1.0 / 16,
-              sampling_ratio=-1, sampling_max=4):
+              sampling_ratio=-1, sampling_max=4, method="einsum"):
+    """features [N, H, W, C]; rois [K, 5]. Returns [K, ph, pw, C].
+
+    method="einsum" (default): gather-free separable-matmul formulation
+    (see _interp_matrix). method="gather": direct bilinear-tap gather,
+    kept as the golden reference implementation.
+    """
+    if method == "einsum":
+        n, h, w, c = features.shape
+        ph, pw = output_size
+        batch = rois[:, 0].astype(jnp.int32)
+        start_x = rois[:, 1] * spatial_scale
+        start_y = rois[:, 2] * spatial_scale
+        roi_w = jnp.maximum(rois[:, 3] * spatial_scale - start_x, 1.0)
+        roi_h = jnp.maximum(rois[:, 4] * spatial_scale - start_y, 1.0)
+        gh, gw = _grid_counts(roi_h, roi_w, ph, pw, sampling_ratio,
+                              sampling_max)
+        by = _interp_matrix(start_y, roi_h, ph, gh, sampling_max, h)
+        bx = _interp_matrix(start_x, roi_w, pw, gw, sampling_max, w)
+
+        def one(b):
+            t = jnp.einsum("kph,hwc->kpwc", by, features[b],
+                           preferred_element_type=jnp.float32)
+            return jnp.einsum("kqw,kpwc->kpqc", bx, t,
+                              preferred_element_type=jnp.float32)
+
+        return _per_image(batch, n, one)
+    return _roi_align_gather(features, rois, output_size, spatial_scale,
+                             sampling_ratio, sampling_max)
+
+
+def _roi_align_gather(features, rois, output_size=(7, 7),
+                      spatial_scale=1.0 / 16, sampling_ratio=-1,
+                      sampling_max=4):
     """features [N, H, W, C]; rois [K, 5]. Returns [K, ph, pw, C]."""
     n, h, w, c = features.shape
     k = rois.shape[0]
@@ -114,13 +185,56 @@ def roi_align(features, rois, output_size=(7, 7), spatial_scale=1.0 / 16,
 
 
 def ps_roi_align(features, rois, output_size=(7, 7), spatial_scale=1.0 / 16,
-                 sampling_ratio=-1, sampling_max=4):
+                 sampling_ratio=-1, sampling_max=4, method="einsum"):
     """Position-sensitive RoIAlign.
 
     features [N, H, W, C_in] with C_in = C_out * ph * pw laid out
     C_out-major (torch channel order: c_in = (c_out*ph + by)*pw + bx).
-    Returns [K, ph, pw, C_out].
+    Returns [K, ph, pw, C_out]. Position-sensitivity makes the einsum
+    path even cheaper: the bin index rides along as a shared einsum
+    index, so only each bin's own C_out channel block is ever touched.
     """
+    if method == "einsum":
+        return _ps_roi_align_einsum(features, rois, output_size,
+                                    spatial_scale, sampling_ratio,
+                                    sampling_max)
+    return _ps_roi_align_gather(features, rois, output_size, spatial_scale,
+                                sampling_ratio, sampling_max)
+
+
+def _ps_roi_align_einsum(features, rois, output_size, spatial_scale,
+                         sampling_ratio, sampling_max):
+    n, h, w, c_in = features.shape
+    ph, pw = output_size
+    c_out = c_in // (ph * pw)
+    assert c_out * ph * pw == c_in, "channels must factor as C_out*ph*pw"
+
+    batch = rois[:, 0].astype(jnp.int32)
+    start_x = rois[:, 1] * spatial_scale - 0.5
+    start_y = rois[:, 2] * spatial_scale - 0.5
+    roi_w = jnp.maximum(rois[:, 3] * spatial_scale - 0.5 - start_x, 0.1)
+    roi_h = jnp.maximum(rois[:, 4] * spatial_scale - 0.5 - start_y, 0.1)
+    gh, gw = _grid_counts(roi_h, roi_w, ph, pw, sampling_ratio, sampling_max)
+    by = _interp_matrix(start_y, roi_h, ph, gh, sampling_max, h)
+    bx = _interp_matrix(start_x, roi_w, pw, gw, sampling_max, w)
+
+    fv = features.reshape(n, h, w, c_out, ph, pw)
+
+    def one(b):
+        # p, q (bin indices) are shared, h/w are contracted: each bin reads
+        # only its own channel block
+        t = jnp.einsum("kph,hwupq->kpqwu", by, fv[b],
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("kqw,kpqwu->kpqu", bx, t,
+                          preferred_element_type=jnp.float32)
+
+    return _per_image(batch, n, one)
+
+
+def _ps_roi_align_gather(features, rois, output_size=(7, 7),
+                         spatial_scale=1.0 / 16, sampling_ratio=-1,
+                         sampling_max=4):
+    """Golden gather-formulation reference."""
     n, h, w, c_in = features.shape
     k = rois.shape[0]
     ph, pw = output_size

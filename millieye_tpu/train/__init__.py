@@ -9,3 +9,11 @@ from millieye_tpu.train.steps import (
     make_fusion_train_step,
     TrainState,
 )
+from millieye_tpu.train.recipes import (
+    Trainer,
+    yolo_trainer,
+    refine_trainer,
+    fusion_trainer,
+    fusion_device_batch,
+)
+from millieye_tpu.train.logging import MetricsLogger

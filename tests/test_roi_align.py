@@ -129,3 +129,26 @@ def test_degenerate_rois_no_nan(rng):
     out1 = np.asarray(roi_align(jnp.asarray(feats), jnp.asarray(rois)))
     out2 = np.asarray(ps_roi_align(jnp.asarray(feats), jnp.asarray(rois)))
     assert np.isfinite(out1).all() and np.isfinite(out2).all()
+
+
+def test_einsum_matches_gather_roi_align(rng):
+    """The gather-free separable-matmul path must equal the tap-gather
+    golden implementation bit-for-bit (same float32 math)."""
+    from millieye_tpu.ops.roi_align import roi_align, _roi_align_gather
+    feats = jnp.asarray(rng.standard_normal((2, 13, 13, 6)), jnp.float32)
+    rois = make_rois(rng, 2, 24, img=200)
+    a = roi_align(feats, rois, (7, 7), 1.0 / 16, method="einsum")
+    b = _roi_align_gather(feats, rois, (7, 7), 1.0 / 16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_einsum_matches_gather_ps_roi_align(rng):
+    from millieye_tpu.ops.roi_align import (ps_roi_align,
+                                            _ps_roi_align_gather)
+    feats = jnp.asarray(rng.standard_normal((2, 13, 13, 49 * 4)), jnp.float32)
+    rois = make_rois(rng, 2, 24, img=200)
+    a = ps_roi_align(feats, rois, (7, 7), 1.0 / 16, method="einsum")
+    b = _ps_roi_align_gather(feats, rois, (7, 7), 1.0 / 16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
