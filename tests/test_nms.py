@@ -125,3 +125,21 @@ def test_fixpoint_keep_mask_equals_sequential(rng):
             fast = np.asarray(nms_keep_mask(boxes, valid, thr))
             ref = np.asarray(nms_keep_mask_ref(boxes, valid, thr))
             np.testing.assert_array_equal(fast, ref)
+
+
+def test_pallas_kernel_matches_fixpoint(rng):
+    """Pallas NMS kernel (interpret mode on CPU) == XLA fixpoint == greedy."""
+    from millieye_tpu.ops.nms import nms_keep_mask
+    from millieye_tpu.ops.nms_pallas import nms_keep_mask_pallas
+    import jax.numpy as jnp
+    B, K = 2, 64
+    xy = rng.uniform(0, 300, size=(B, K, 2))
+    wh = rng.uniform(5, 120, size=(B, K, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=(B, K)) > 0.2)
+    for t in (0.3, 0.5):
+        fast = np.asarray(nms_keep_mask_pallas(boxes, valid, t,
+                                               interpret=True))
+        ref = np.stack([np.asarray(nms_keep_mask(boxes[i], valid[i], t))
+                        for i in range(B)])
+        np.testing.assert_array_equal(fast, ref)
