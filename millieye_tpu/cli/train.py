@@ -69,7 +69,7 @@ def main(argv=None):
             from millieye_tpu.io.torch_ckpt import (read_state_dict,
                                                     load_module2_pretrain)
             sd = read_state_dict(args.pretrained_module2)
-            params, state = load_module2_pretrain(params, state, sd)
+            params, state, _frozen = load_module2_pretrain(params, state, sd)
         trainer = recipes.fusion_trainer(
             model, params, state, args.checkpoint_dir, lr=args.lr,
             every_k=args.grad_accum)

@@ -97,7 +97,9 @@ def decode_yolo(raw, anchors, num_classes, img_dim):
     gx = lax.broadcasted_iota(jnp.float32, (g, g), 1)
     grid = jnp.stack([gx, gy], -1)[None, None]                 # [1,1,G,G,2]
     bxy = (xy + grid) * stride
-    bwh = jnp.exp(twh) * anchors[None, :, None, None, :]
+    # clamp keeps decode finite for arbitrary weights (exp(20)*anchor is
+    # ~1e10 px — unreachable by any trained net, so no behavior change)
+    bwh = jnp.exp(jnp.clip(twh, -20.0, 20.0)) * anchors[None, :, None, None, :]
 
     det = jnp.concatenate([bxy, bwh, conf, cls], -1).reshape(n, a * g * g, f)
     pred = jnp.concatenate([xy, twh, conf, cls], -1)

@@ -208,6 +208,9 @@ class FusionNetwork:
         order = jnp.argsort(-priority, axis=1)
         boxes_out = jnp.take_along_axis(boxes_out, order[..., None], axis=1)
         out_valid = jnp.take_along_axis(positive, order, axis=1)
+        # padded rows carry garbage regressions (exp(dw)*0 -> NaN); keep the
+        # output well-defined everywhere
+        boxes_out = jnp.where(out_valid[..., None], boxes_out, 0.0)
 
         result = {"boxes": boxes_out, "valid": out_valid, "num_img": k_img,
                   "radar_attention": radar_score_map[..., :1]}
@@ -393,6 +396,7 @@ class RefineNetwork:
         order = jnp.argsort(-priority, axis=1)
         boxes_out = jnp.take_along_axis(boxes_out, order[..., None], axis=1)
         out_valid = jnp.take_along_axis(positive, order, axis=1)
+        boxes_out = jnp.where(out_valid[..., None], boxes_out, 0.0)
         result = {"boxes": boxes_out, "valid": out_valid, "num_img": k_img}
 
         if not train:

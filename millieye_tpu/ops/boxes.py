@@ -99,8 +99,10 @@ def box_regress(regress_param, roi_xyxy):
     p = regress_param.astype(jnp.float32)
     xr = p[..., 0] * w + x
     yr = p[..., 1] * h + y
-    wr = jnp.exp(p[..., 2]) * w
-    hr = jnp.exp(p[..., 3]) * h
+    # clamped so arbitrary (e.g. untrained) head outputs stay finite;
+    # trained deltas live in (-1, 1), far inside the clamp
+    wr = jnp.exp(jnp.clip(p[..., 2], -20.0, 20.0)) * w
+    hr = jnp.exp(jnp.clip(p[..., 3], -20.0, 20.0)) * h
     return xywh_to_xyxy(jnp.stack([xr, yr, wr, hr], axis=-1))
 
 
