@@ -1,0 +1,113 @@
+"""Extended TPU measurements beyond bench.py's single headline line.
+
+Writes BENCH_DETAILS.json: batch-throughput sweep, bfloat16 backbone
+variant, stage-3 train-step rate. Run manually on the TPU host:
+
+    python benchmarks/details.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _measure(f, args, iters=30):
+    import jax
+    jax.block_until_ready(f(*args))          # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as g        # enables the compile cache
+    from millieye_tpu.models import Darknet, tiny_yolov3_defs
+    from millieye_tpu.models.fusion import FusionConfig, FusionNetwork
+
+    s = 416
+    rng = np.random.default_rng(0)
+    results = {"device": str(jax.devices()[0])}
+
+    def build(dtype):
+        darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=s),
+                          img_size=s)
+        cfg = FusionConfig(compute_dtype=dtype)
+        model = FusionNetwork(darknet, cfg)
+        cpu = g._init_device()
+        import contextlib
+        with (jax.default_device(cpu) if cpu else contextlib.nullcontext()):
+            params, state = model.init(jax.random.PRNGKey(0))
+        fp, fs = darknet.fold_batchnorm(params["darknet"], state["darknet"])
+        return model, dict(params, darknet=fp), dict(state, darknet=fs)
+
+    def inputs(b):
+        images = jnp.asarray(rng.uniform(size=(b, s, s, 3)), jnp.float32)
+        maps = jnp.asarray(rng.uniform(size=(b, s // 16, s // 16, 3)),
+                           jnp.float32)
+        rb = np.zeros((b, 32, 4), np.float32)
+        rb[..., :2] = rng.uniform(0.1, 0.5, size=(b, 32, 2))
+        rb[..., 2:] = rb[..., :2] + 0.2
+        return images, maps, jnp.asarray(rb), jnp.ones((b, 32), bool)
+
+    for dtype in ("float32", "bfloat16"):
+        model, params, state = build(dtype)
+
+        def fwd(i, m, r, v):
+            out = model.apply(params, state, i, m, r, v, mode=0)
+            return out["boxes"], out["valid"]
+
+        step = jax.jit(fwd)
+        for b in (1, 8):
+            dt = _measure(step, inputs(b))
+            results[f"fusion_fwd_{dtype}_b{b}_fps"] = round(b / dt, 1)
+            print(f"fusion {dtype} b{b}: {b/dt:.1f} fps", flush=True)
+
+    # stage-3 train step (frozen subtrees, grad accumulation off for a
+    # clean per-step number)
+    from millieye_tpu.train import (frozen_adam, STAGE3_FROZEN,
+                                    make_fusion_train_step)
+    from millieye_tpu.train.steps import init_train_state
+    model, params, state = build("float32")
+    tx = frozen_adam(params, lr=5e-4, frozen_prefixes=STAGE3_FROZEN)
+    ts = init_train_state(params, state, tx)
+    step = jax.jit(make_fusion_train_step(model, tx), donate_argnums=(0,))
+    b = 8
+    images, maps, rb, rv = inputs(b)
+    tg = np.zeros((b, 16, 5), np.float32)
+    tg[..., 1:3] = rng.uniform(0.3, 0.7, (b, 16, 2))
+    tg[..., 3:5] = rng.uniform(0.1, 0.2, (b, 16, 2))
+    batch = {"images": images, "radar_maps": maps, "radar_boxes": rb,
+             "rmask": rv, "targets": jnp.asarray(tg),
+             "tmask": jnp.ones((b, 16), bool)}
+    key = jax.random.PRNGKey(0)
+    ts, _ = step(ts, batch, key)             # compile
+    jax.block_until_ready(ts.step)
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, metrics = step(ts, batch, key)
+    jax.block_until_ready(ts.step)
+    dt = (time.perf_counter() - t0) / iters
+    results["train_step_b8_steps_per_s"] = round(1 / dt, 2)
+    results["train_step_b8_imgs_per_s"] = round(b / dt, 1)
+    print(f"train step b8: {1/dt:.2f} steps/s", flush=True)
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DETAILS.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
