@@ -47,7 +47,9 @@ from millieye_tpu.models.darknet import Darknet
 from millieye_tpu.models import heads
 from millieye_tpu.ops.boxes import box_regress, xywh_to_xyxy, iou_matrix
 from millieye_tpu.ops.nms import batched_nms
-from millieye_tpu.ops.roi_align import roi_align, ps_roi_align
+from millieye_tpu.ops.roi_align import (roi_align, ps_roi_align,
+                                         roi_align_batched,
+                                         ps_roi_align_batched)
 
 
 @dataclass
@@ -143,22 +145,24 @@ class FusionNetwork:
         radar_score_map, radar_enc_s = heads.radar_encoder_apply(
             params["radar_enc"], state["radar_enc"], radar_maps, train)
 
-        # 3. aggregate proposals -> flat RoI list [(B*(K+R)), 5]
+        # 3. aggregate proposals, one block per image [B, K+R, 4]
         radar_xyxy = radar_boxes * img_size                     # (:490-492)
         all_xyxy = jnp.concatenate([img_xyxy, radar_xyxy], axis=1)
         all_valid = jnp.concatenate([det_valid, radar_mask], axis=1)
         n_all = k_img + r_rad
-        batch_col = jnp.broadcast_to(
-            jnp.arange(b_sz, dtype=jnp.float32)[:, None], (b_sz, n_all))
-        rois = jnp.concatenate(
-            [batch_col[..., None], all_xyxy], -1).reshape(b_sz * n_all, 5)
         flat_valid = all_valid.reshape(-1)
 
-        # 4. RoI cropping (my_models.py:495-496)
-        img_crop = ps_roi_align(roi_score_map, rois, (7, 7), 1.0 / 16,
-                                sampling_max=cfg.sampling_max)
-        radar_crop = roi_align(radar_score_map, rois, (7, 7), 1.0 / 16,
-                               sampling_max=cfg.sampling_max)
+        # 4. RoI cropping (my_models.py:495-496) — batched einsum variants:
+        # the per-image roi layout is already blocked, so cropping is two
+        # MXU contractions for the whole batch, no gathers, no image loop
+        img_crop = ps_roi_align_batched(
+            roi_score_map, all_xyxy, (7, 7), 1.0 / 16,
+            sampling_max=cfg.sampling_max).reshape(
+                b_sz * n_all, 7, 7, -1)
+        radar_crop = roi_align_batched(
+            radar_score_map, all_xyxy, (7, 7), 1.0 / 16,
+            sampling_max=cfg.sampling_max).reshape(
+                b_sz * n_all, 7, 7, -1)
 
         # 5. refinement head (img-feature scoring + radar-confidence fusion)
         regress_param, refinement_vector, refine_s = heads.refinement_head_apply(
@@ -361,12 +365,9 @@ class RefineNetwork:
         roi_score_map, fcn_s = heads.conv_bn_stack_apply(
             params["fcn"], state["fcn"], d_out["feature_map"], train)
 
-        batch_col = jnp.broadcast_to(
-            jnp.arange(b_sz, dtype=jnp.float32)[:, None], (b_sz, k_img))
-        rois = jnp.concatenate(
-            [batch_col[..., None], img_xyxy], -1).reshape(b_sz * k_img, 5)
-        img_crop = ps_roi_align(roi_score_map, rois, (7, 7), 1.0 / 16,
-                                sampling_max=cfg.sampling_max)
+        img_crop = ps_roi_align_batched(
+            roi_score_map, img_xyxy, (7, 7), 1.0 / 16,
+            sampling_max=cfg.sampling_max).reshape(b_sz * k_img, 7, 7, -1)
 
         drop_rng = None
         if train and rng is not None:

@@ -275,3 +275,60 @@ def _ps_roi_align_gather(features, rois, output_size=(7, 7),
     acc = (vals * wts[..., None]).sum(axis=(-2, -3, -4))
     count = (gh * gw)[:, None, None, None]
     return acc / count
+
+
+def _batched_prep(boxes, h, w, bins, spatial_scale, offset, min_size,
+                  sampling_ratio, smax):
+    b, n, _ = boxes.shape
+    flat = boxes.reshape(b * n, 4)
+    start_x = flat[:, 0] * spatial_scale + offset
+    start_y = flat[:, 1] * spatial_scale + offset
+    roi_w = jnp.maximum(flat[:, 2] * spatial_scale + offset - start_x,
+                        min_size)
+    roi_h = jnp.maximum(flat[:, 3] * spatial_scale + offset - start_y,
+                        min_size)
+    gh, gw = _grid_counts(roi_h, roi_w, bins[0], bins[1], sampling_ratio,
+                          smax)
+    by = _interp_matrix(start_y, roi_h, bins[0], gh, smax, h)
+    bx = _interp_matrix(start_x, roi_w, bins[1], gw, smax, w)
+    return (by.reshape(b, n, bins[0], h), bx.reshape(b, n, bins[1], w))
+
+
+def roi_align_batched(features, boxes, output_size=(7, 7),
+                      spatial_scale=1.0 / 16, sampling_ratio=-1,
+                      sampling_max=4):
+    """Per-image RoIAlign with NO cross-image selection: features
+    [B, H, W, C], boxes [B, N, 4] xyxy (image coordinates) -> crops
+    [B, N, ph, pw, C].
+
+    Same numerics as ``roi_align`` (tv0.6 aligned=False); used when rois
+    are already laid out one block per image (the fusion network), where
+    it removes the per-image accumulation loop of the flat-roi API —
+    one pair of batched MXU contractions for the whole batch.
+    """
+    _, h, w, _ = features.shape
+    by, bx = _batched_prep(boxes, h, w, output_size, spatial_scale, 0.0,
+                           1.0, sampling_ratio, sampling_max)
+    t = jnp.einsum("bnph,bhwc->bnpwc", by, features,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("bnqw,bnpwc->bnpqc", bx, t,
+                      preferred_element_type=jnp.float32)
+
+
+def ps_roi_align_batched(features, boxes, output_size=(7, 7),
+                         spatial_scale=1.0 / 16, sampling_ratio=-1,
+                         sampling_max=4):
+    """Position-sensitive variant of ``roi_align_batched``: features
+    [B, H, W, C_out*ph*pw] (torch C_out-major bin layout), boxes
+    [B, N, 4] -> [B, N, ph, pw, C_out]."""
+    b, h, w, c_in = features.shape
+    ph, pw = output_size
+    c_out = c_in // (ph * pw)
+    assert c_out * ph * pw == c_in
+    by, bx = _batched_prep(boxes, h, w, output_size, spatial_scale, -0.5,
+                           0.1, sampling_ratio, sampling_max)
+    fv = features.reshape(b, h, w, c_out, ph, pw)
+    t = jnp.einsum("bnph,bhwupq->bnpqwu", by, fv,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("bnqw,bnpqwu->bnpqu", bx, t,
+                      preferred_element_type=jnp.float32)

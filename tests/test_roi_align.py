@@ -152,3 +152,32 @@ def test_einsum_matches_gather_ps_roi_align(rng):
     b = _ps_roi_align_gather(feats, rois, (7, 7), 1.0 / 16)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_batched_variants_match_flat(rng):
+    """roi_align_batched / ps_roi_align_batched must equal the flat-roi
+    API given the blocked per-image layout the fusion network uses."""
+    from millieye_tpu.ops.roi_align import (roi_align, ps_roi_align,
+                                            roi_align_batched,
+                                            ps_roi_align_batched)
+    b, n = 2, 12
+    feats = jnp.asarray(rng.standard_normal((b, 13, 13, 10)), jnp.float32)
+    ps_feats = jnp.asarray(rng.standard_normal((b, 13, 13, 490)),
+                           jnp.float32)
+    boxes = np.zeros((b, n, 4), np.float32)
+    xy = rng.uniform(0, 150, size=(b, n, 2))
+    wh = rng.uniform(8, 100, size=(b, n, 2))
+    boxes[..., :2] = xy
+    boxes[..., 2:] = xy + wh
+    batch_col = np.repeat(np.arange(b, dtype=np.float32), n)[:, None]
+    rois = np.concatenate([batch_col, boxes.reshape(-1, 4)], -1)
+
+    got = roi_align_batched(feats, jnp.asarray(boxes))
+    want = roi_align(feats, jnp.asarray(rois))
+    np.testing.assert_allclose(np.asarray(got).reshape(-1, 7, 7, 10),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    got_ps = ps_roi_align_batched(ps_feats, jnp.asarray(boxes))
+    want_ps = ps_roi_align(ps_feats, jnp.asarray(rois))
+    np.testing.assert_allclose(np.asarray(got_ps).reshape(-1, 7, 7, 10),
+                               np.asarray(want_ps), rtol=1e-5, atol=1e-5)
