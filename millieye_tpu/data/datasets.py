@@ -26,6 +26,7 @@ import pickle
 import numpy as np
 
 from millieye_tpu.data.preprocessing import (
+    horizontal_flip,
     load_image_rgb,
     np_pad_to_square,
 )
@@ -98,6 +99,7 @@ class ImageListDataset:
             .replace(".jpg", ".txt") for p in self.img_files]
         self.normalized_labels = normalized_labels
         self.augment = augment
+        self._aug_rng = np.random.default_rng(0)
 
     def __len__(self):
         return len(self.img_files)
@@ -108,6 +110,8 @@ class ImageListDataset:
         xyxy, cls = _read_yolo_label(self.label_files[idx], w, h,
                                      self.normalized_labels)
         img, targets, pad = _letterbox_item(img, xyxy, cls)
+        if self.augment and self._aug_rng.uniform() < 0.5:
+            img, targets = horizontal_flip(img, targets)
         return {"path": self.img_files[idx], "image": img, "targets": targets}
 
 
@@ -119,6 +123,7 @@ class ExDarkDataset:
         self.coco_detector = coco_detector
         self.chosen = chosen_classes or list(range(12))
         self.augment = augment
+        self._aug_rng = np.random.default_rng(0)
         self.items = []
         with open(os.path.join(root, "imageclasslist.txt")) as fh:
             for line in fh:
@@ -172,6 +177,8 @@ class ExDarkDataset:
                          ltwh[:, 0] + ltwh[:, 2],
                          ltwh[:, 1] + ltwh[:, 3]], -1) if len(ltwh) else ltwh
         img, targets, _ = _letterbox_item(img, xyxy, classes)
+        if self.augment and self._aug_rng.uniform() < 0.5:
+            img, targets = horizontal_flip(img, targets)
         return {"path": img_path, "image": img, "targets": targets}
 
 

@@ -64,13 +64,17 @@ class Trainer:
     """Shared epoch loop: step fn + loader + logging + checkpoints."""
 
     def __init__(self, step_fn, train_state, ckpt_dir, logdir=None,
-                 log_every=10, name="stage"):
+                 log_every=10, name="stage", viz_fn=None, viz_every=50):
         self.step = jax.jit(step_fn, donate_argnums=(0,))
         self.ts = train_state
         self.ckpt_dir = ckpt_dir
         self.logger = MetricsLogger(logdir or os.path.join(ckpt_dir, "logs"))
         self.log_every = log_every
         self.name = name
+        # image-summary hook (TB image-grid equivalent, train.py:196-239):
+        # viz_fn(train_state, device_batch) -> {tag: [N, H, W, C] float}
+        self.viz_fn = viz_fn
+        self.viz_every = viz_every
         os.makedirs(ckpt_dir, exist_ok=True)
 
     def fit(self, loader, epochs, rng, batch_fn, on_epoch_end=None):
@@ -78,13 +82,19 @@ class Trainer:
         for epoch in range(epochs):
             for batch in loader:
                 rng, sub = jax.random.split(rng)
-                self.ts, metrics = self.step(self.ts, batch_fn(batch), sub)
+                device_batch = batch_fn(batch)
+                self.ts, metrics = self.step(self.ts, device_batch, sub)
                 step_no += 1
                 if step_no % self.log_every == 0:
                     self.logger.scalars(
                         step_no,
                         {k: v for k, v in metrics.items()
                          if jnp.ndim(v) == 0})
+                if self.viz_fn and step_no % self.viz_every == 0:
+                    for tag, imgs in self.viz_fn(self.ts,
+                                                 device_batch).items():
+                        self.logger.image_grid(step_no, tag,
+                                               np.asarray(imgs))
             self.save(epoch)
             if on_epoch_end:
                 on_epoch_end(epoch, self.ts)
@@ -118,12 +128,31 @@ def refine_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2):
                    name="module2")
 
 
+def fusion_viz(model, mode=0):
+    """Image-summary hook: radar heatmaps + learned radar attention
+    (the reference's TensorBoard grids, module3 train.py:196-220)."""
+
+    @jax.jit
+    def render(params, state, batch):
+        out = model.apply(params, state, batch["images"],
+                          batch["radar_maps"], batch["radar_boxes"],
+                          batch["rmask"], mode=mode)
+        return batch["radar_maps"], out["radar_attention"]
+
+    def viz(ts, batch):
+        maps, attention = render(ts.params, ts.state, batch)
+        return {"radar/maps": maps, "radar/attention": attention}
+
+    return viz
+
+
 def fusion_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2,
-                   mode=0, freeze_module2=True):
+                   mode=0, freeze_module2=True, viz=False):
     tx = frozen_adam(params, lr=lr,
                      frozen_prefixes=STAGE3_FROZEN if freeze_module2 else
                      (("darknet",),),
                      every_k=every_k)
     ts = init_train_state(params, state, tx)
     return Trainer(make_fusion_train_step(model, tx, mode), ts, ckpt_dir,
-                   name="module3")
+                   name="module3",
+                   viz_fn=fusion_viz(model, mode) if viz else None)

@@ -88,3 +88,18 @@ def test_prepare_dataset_emits_layout(tmp_path):
         assert os.path.exists(os.path.join(out, "radar_box", s + ".pkl"))
     listed = open(os.path.join(out, "dataset.txt")).read().splitlines()
     assert len(listed) == len(stems)
+
+
+def test_augment_flip(tmp_path):
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    os.makedirs(lbl_dir)
+    _save_img(str(img_dir / "a.jpg"), w=64, h=64)
+    (lbl_dir / "a.txt").write_text("0 0.25 0.5 0.2 0.2\n")
+    lst = tmp_path / "t.txt"
+    lst.write_text(str(img_dir / "a.jpg") + "\n")
+    ds = ImageListDataset(str(lst), augment=True)
+    # flip is Bernoulli(0.5): over many draws both branches occur and the
+    # flipped cx mirrors to 0.75 (utils/augmentations.py:6-9 semantics)
+    seen = {round(float(ds.get(0)["targets"][0, 1]), 2) for _ in range(40)}
+    assert seen == {0.25, 0.75}

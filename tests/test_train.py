@@ -136,3 +136,14 @@ def test_checkpoint_rejects_mismatched_template(tmp_path, fusion):
     save_checkpoint(path, {"params": params})
     with pytest.raises(ValueError):
         load_checkpoint(path, {"params": params, "extra": jnp.zeros(3)})
+
+
+def test_orbax_roundtrip(tmp_path, fusion):
+    from millieye_tpu.io.checkpoint import save_orbax, load_orbax
+    _, params, _ = fusion
+    path = str(tmp_path / "orbax_ckpt")
+    tree = {"ensemble": params["ensemble"]}
+    save_orbax(path, jax.tree.map(np.asarray, tree))
+    back = load_orbax(path)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

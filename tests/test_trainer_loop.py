@@ -31,7 +31,9 @@ def test_fusion_training_loop_and_eval(tmp_path):
     params, state = model.init(jax.random.PRNGKey(0))
 
     trainer = recipes.fusion_trainer(model, params, state,
-                                     str(tmp_path / "ckpt"), every_k=1)
+                                     str(tmp_path / "ckpt"), every_k=1,
+                                     viz=True)
+    trainer.viz_every = 2
     ds = RadarFusionDataset(root, "train", ("H",), test_list=0)
     loader = DataLoader(ds, 2, PaddedCollate(S, max_targets=8, max_radar=4,
                                              max_points=16), num_workers=1)
@@ -43,6 +45,11 @@ def test_fusion_training_loop_and_eval(tmp_path):
     # metrics were logged
     log = os.path.join(str(tmp_path / "ckpt"), "logs", "metrics.jsonl")
     assert os.path.exists(log)
+    # image summaries (radar maps + attention grids) were dumped
+    pngs = [f for f in os.listdir(os.path.join(str(tmp_path / "ckpt"),
+                                               "logs"))
+            if f.endswith(".png")]
+    assert pngs
 
     # resume restores exactly
     trainer2 = recipes.fusion_trainer(model, params, state,
