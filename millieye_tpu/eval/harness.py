@@ -110,9 +110,24 @@ def auto_mode(images):
     return 0 if float(jnp.mean(images)) < 0.1 else 1
 
 
-def evaluate_fusion(model, params, state, batches, mode=0, iou_thresh=0.5):
+def evaluate_fusion(model, params, state, batches, mode=0, iou_thresh=0.5,
+                    mesh=None):
     """Stage-3 full fusion. ``mode``: 0 millieye / 1 yolo / 2 radar /
-    3 auto (per-batch selection)."""
+    3 auto (per-batch selection).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — batches are sharded over
+    its "data" axis (params replicated) so evaluation scales across
+    chips; batch size must divide the data-axis size.
+    """
+    if mesh is not None:
+        from millieye_tpu.parallel import batch_sharding, replicated
+        b_sh, r_sh = batch_sharding(mesh), replicated(mesh)
+        params = jax.tree.map(lambda x: jax.device_put(x, r_sh), params)
+        state = jax.tree.map(lambda x: jax.device_put(x, r_sh), state)
+
+    def put(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, b_sh) if mesh is not None else x
 
     @functools.partial(jax.jit, static_argnums=(4,))
     def step(images, maps, rb, rmask, m):
@@ -121,11 +136,11 @@ def evaluate_fusion(model, params, state, batches, mode=0, iou_thresh=0.5):
 
     stats, target_cls = [], []
     for batch in batches:
-        images = jnp.asarray(batch["images"])
+        images = put(batch["images"])
         m = auto_mode(images) if mode == 3 else mode
-        boxes, valid = step(images, jnp.asarray(batch["radar_maps"]),
-                            jnp.asarray(batch["radar_boxes"]),
-                            jnp.asarray(batch["rmask"]), m)
+        boxes, valid = step(images, put(batch["radar_maps"]),
+                            put(batch["radar_boxes"]),
+                            put(batch["rmask"]), m)
         targets = _targets_to_eval(batch["targets"], batch["tmask"],
                                    images.shape[1])
         target_cls.extend(targets[:, 1].tolist())

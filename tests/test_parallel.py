@@ -38,3 +38,40 @@ def test_dryrun_multichip_dp_tp():
 def test_dryrun_multichip_dp_only():
     import __graft_entry__ as g
     g.dryrun_multichip(4)
+
+
+def test_sharded_evaluate_fusion(rng):
+    """Data-parallel eval over the virtual mesh matches single-device."""
+    import jax.numpy as jnp
+    from millieye_tpu.models import Darknet, tiny_yolov3_defs
+    from millieye_tpu.models.fusion import FusionConfig, FusionNetwork
+    from millieye_tpu.eval import harness
+
+    S = 128
+    darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S),
+                      img_size=S)
+    model = FusionNetwork(darknet, FusionConfig(
+        conf_thresh=0.05, max_det=16, max_radar=4, pre_nms_top_k=64))
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    b = 8
+    rb = np.zeros((b, 4, 4), np.float32)
+    rb[..., :2] = rng.uniform(0.1, 0.5, (b, 4, 2))
+    rb[..., 2:] = rb[..., :2] + 0.3
+    tg = np.zeros((b, 5, 5), np.float32)
+    tg[..., 1:3] = rng.uniform(0.3, 0.7, (b, 5, 2))
+    tg[..., 3:5] = 0.2
+    batch = {"images": rng.uniform(size=(b, S, S, 3)).astype(np.float32),
+             "radar_maps": rng.uniform(size=(b, S // 16, S // 16, 3)).astype(
+                 np.float32),
+             "radar_boxes": rb, "rmask": np.ones((b, 4), bool),
+             "targets": tg, "tmask": np.ones((b, 5), bool)}
+
+    plain = harness.evaluate_fusion(model, params, state, iter([batch]))
+    mesh = parallel.make_mesh(8, model_axis=1)
+    sharded = harness.evaluate_fusion(model, params, state, iter([batch]),
+                                      mesh=mesh)
+    if plain is None:
+        assert sharded is None
+    else:
+        np.testing.assert_allclose(plain[2], sharded[2], rtol=1e-4)
