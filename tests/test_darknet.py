@@ -177,3 +177,34 @@ def test_multiscale_input():
     params, state = model.init(jax.random.PRNGKey(0))
     out = model.apply(params, state, jnp.zeros((1, 320, 320, 3)))
     assert out["detections"].shape[1] == 3 * 10 * 10 + 3 * 20 * 20
+
+
+def test_full_yolov3_topology_and_shapes():
+    """Full YOLOv3 (Darknet-53, 3 scales) from the zoo: block indexing
+    must match pjreddie's yolov3.cfg (routes -1,61 / -1,36 hit the
+    256/512-ch stage outputs) so official .weights load positionally."""
+    import jax
+    import jax.numpy as jnp
+    from millieye_tpu.models.zoo import yolov3_defs
+
+    s = 256
+    model = Darknet(yolov3_defs(num_classes=80, img_size=s), img_size=s,
+                    feature_tap=36)
+    # official cfg has 107 layers (0..106); yolo at 82/94/106
+    assert len(model.block_defs) == 107
+    yolo_idx = [i for i, b in enumerate(model.block_defs)
+                if b["type"] == "yolo"]
+    assert yolo_idx == [82, 94, 106]
+    # route targets resolve to the residual-stage outputs
+    r61 = model._plan[86]
+    assert r61["type"] == "route" and r61["layers"] == [85, 61]
+    r36 = model._plan[98]
+    assert r36["type"] == "route" and r36["layers"] == [97, 36]
+
+    params, state = model.init(jax.random.PRNGKey(0))
+    out = model.apply(params, state, jnp.zeros((1, s, s, 3), jnp.float32))
+    # 3 scales: s/32, s/16, s/8 -> 8, 16, 32 grids; 3 anchors each; 85 ch
+    expect = 3 * (8 * 8 + 16 * 16 + 32 * 32)
+    assert out["detections"].shape == (1, expect, 85)
+    # feature tap at layer 36: stride 8, 256 channels
+    assert out["feature_map"].shape == (1, s // 8, s // 8, 256)

@@ -92,3 +92,77 @@ def test_demo_cli_end_to_end(tmp_path):
     ])
     assert report["e2e_fps"] > 0
     assert len(os.listdir(out_dir)) == 3
+
+
+def test_yolo_and_refine_training_loops(tmp_path):
+    """Stage-1 (YOLO) and stage-2 (refine) epoch loops on a tiny list
+    dataset (module2_mixed/train.py phases)."""
+    from PIL import Image
+    import numpy as np
+    from millieye_tpu.data.datasets import ImageListDataset
+    from millieye_tpu.models.fusion import RefineNetwork
+
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    os.makedirs(lbl_dir)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(4):
+        p = img_dir / f"{i}.jpg"
+        os.makedirs(img_dir, exist_ok=True)
+        Image.fromarray((rng.uniform(size=(S, S, 3)) * 255).astype(
+            np.uint8)).save(p)
+        (lbl_dir / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+        lines.append(str(p))
+    lst = tmp_path / "train.txt"
+    lst.write_text("\n".join(lines) + "\n")
+
+    ds = ImageListDataset(str(lst))
+    loader = DataLoader(ds, 2, PaddedCollate(S, max_targets=8),
+                        num_workers=1)
+    batch_fn = lambda b: recipes.fusion_device_batch(b, S)
+
+    darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S),
+                      img_size=S)
+    p0, s0 = darknet.init(jax.random.PRNGKey(0))
+    t1 = recipes.yolo_trainer(darknet, p0, s0, str(tmp_path / "c1"),
+                              every_k=1)
+    ts1 = t1.fit(loader, 1, jax.random.PRNGKey(1), batch_fn)
+    assert int(ts1.step) == len(loader)
+
+    rmodel = RefineNetwork(darknet, FusionConfig(
+        conf_thresh=0.05, class_num=12, max_det=8, pre_nms_top_k=32,
+        loss_variant="module2", loss_lambda=(15.0, 5.0)))
+    rp, rs = rmodel.init(jax.random.PRNGKey(2))
+    # the trainer donates its state buffers — snapshot before training
+    dark0 = [np.array(x) for x in jax.tree.leaves(rp["darknet"])]
+    t2 = recipes.refine_trainer(rmodel, rp, rs, str(tmp_path / "c2"),
+                                every_k=1)
+    ts2 = t2.fit(loader, 1, jax.random.PRNGKey(3), batch_fn)
+    # stage 2: darknet untouched
+    for a, b in zip(dark0, jax.tree.leaves(ts2.params["darknet"])):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_evaluate_cli_end_to_end(tmp_path):
+    """`evaluate --what fusion` over a synthetic dataset + npz weights."""
+    from test_cli import _write_fusion_dataset
+    from millieye_tpu.io.checkpoint import save_checkpoint
+    from millieye_tpu.cli import evaluate as eval_cli
+
+    root = str(tmp_path / "ds")
+    _write_fusion_dataset(root, n=4, img=S)
+    darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S),
+                      img_size=S)
+    model = FusionNetwork(darknet, FusionConfig(
+        conf_thresh=0.05, max_det=8, max_radar=4, pre_nms_top_k=32))
+    params, state = model.init(jax.random.PRNGKey(0))
+    w = str(tmp_path / "w.npz")
+    save_checkpoint(w, {"params": params, "state": state})
+
+    m_ap = eval_cli.main([
+        "--what", "fusion", "--weights", w, "--data_root", root,
+        "--img_size", str(S), "--conf_thresh", "0.05", "--batch_size", "2",
+        "--illumination", "H", "--test_list", "0", "--model_mode", "0",
+    ])
+    assert m_ap is None or 0.0 <= m_ap <= 1.0
