@@ -64,22 +64,18 @@ def main(argv=None):
 
 
 def _make_saver(args):
-    from PIL import Image, ImageDraw
+    from PIL import Image
     from millieye_tpu.collection.prepare import iter_frames
+    from millieye_tpu.radar.viz import draw_detections
     frames = {i: f for i, f in iter_frames(args.recording)}
 
     def save(idx, boxes, valid):
         frame = frames.get(idx)
         if frame is None:
             return
-        im = Image.fromarray(frame)
-        draw = ImageDraw.Draw(im)
-        for b, v in zip(boxes, valid):
-            if v:
-                draw.rectangle([float(b[0]), float(b[1]),
-                                float(b[2]), float(b[3])],
-                               outline=(0, 255, 0), width=2)
-        im.save(os.path.join(args.save_dir, f"{idx:06d}.jpg"))
+        out = draw_detections(frame, boxes, valid)
+        Image.fromarray(out).save(
+            os.path.join(args.save_dir, f"{idx:06d}.jpg"))
 
     return save
 

@@ -8,3 +8,5 @@ from millieye_tpu.radar.hungarian import assign
 from millieye_tpu.radar.kalman import ClusterKalman
 from millieye_tpu.radar.tracker import ClusterTracker
 from millieye_tpu.radar.pipeline import RadarPipeline, RadarParams
+from millieye_tpu.radar.viz import (draw_radar_points, draw_cluster_boxes,
+                                    draw_detections)

@@ -18,6 +18,15 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: this box has ONE cpu core and the suite is
+# dominated by repeated XLA compiles of the fusion graphs; warm reruns
+# skip them. Separate dir from the TPU cache (.jax_cache) — XLA:CPU AOT
+# entries are machine-specific.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

@@ -144,3 +144,21 @@ def test_pipeline_empty_cloud():
     out = pipe.process(np.zeros((4, 0)))
     assert out["proposals"].shape == (0, 4)
     assert out["points_uvzv"].shape == (0, 4)
+
+
+def test_viz_helpers(rng):
+    from millieye_tpu.radar.viz import (draw_radar_points,
+                                        draw_cluster_boxes,
+                                        draw_detections)
+    frame = np.zeros((48, 64, 3), np.uint8)
+    calib = np.array([40.0, 32, 40, 24, 0, 0, 0, 0, 0, 0, 0, 0])
+    pts = np.array([[10.0, 10.0, 2.0, 1.0], [50.0, 30.0, 8.0, -1.0]])
+    out = draw_radar_points(frame, pts)
+    assert out.shape == frame.shape and out.sum() > 0
+    tracked = [{"center": (0.0, 0.0, 3.0), "size": (0.5, 0.5, 0.5)}]
+    out2 = draw_cluster_boxes(out, tracked, calib)
+    assert out2.sum() > out.sum()
+    boxes = np.array([[5, 5, 30, 40, 0.9, 0]])
+    out3 = draw_detections(out2, boxes, np.array([True]),
+                           labels=["person"])
+    assert out3.sum() > 0
