@@ -26,7 +26,9 @@ from millieye_tpu.radar.pipeline import RadarPipeline, RadarParams
 
 
 def iter_frames(rec_dir):
-    """Yield (index, HxWx3 uint8 RGB frame)."""
+    """Yield (index, HxWx3 uint8 RGB frame). Video decode prefers OpenCV,
+    falls back to imageio(+ffmpeg), then a ``frames/`` jpg directory (the
+    recorder's camera-less output)."""
     video = os.path.join(rec_dir, "video.mp4")
     frames_dir = os.path.join(rec_dir, "frames")
     if os.path.exists(video):
@@ -43,6 +45,13 @@ def iter_frames(rec_dir):
             cap.release()
             return
         except ImportError:
+            pass
+        try:
+            import imageio
+            for i, frame in enumerate(imageio.get_reader(video)):
+                yield i, np.asarray(frame)[..., :3]
+            return
+        except Exception:
             pass
     from PIL import Image
     names = sorted(os.listdir(frames_dir))

@@ -114,14 +114,19 @@ class DataLoader:
         out_q = queue.Queue(maxsize=self.prefetch)
         batches = list(self._index_batches())
         stop = threading.Event()
+        failure = []
 
         def produce():
+            # worker exceptions propagate to the consumer (the reference's
+            # demo threads swallow all errors, run_mp.py:159-160 — don't)
             try:
                 for chunk in batches:
                     if stop.is_set():
                         return
                     items = [self.dataset.get(i) for i in chunk]
                     out_q.put(self.collate(items))
+            except BaseException as e:          # noqa: BLE001
+                failure.append(e)
             finally:
                 out_q.put(None)
 
@@ -133,5 +138,7 @@ class DataLoader:
                 if batch is None:
                     break
                 yield batch
+            if failure:
+                raise failure[0]
         finally:
             stop.set()

@@ -47,9 +47,13 @@ class StreamingPipeline:
     compiled consumer step."""
 
     def __init__(self, engine, rec_dir, calib, params: RadarParams = None,
-                 queue_size=3, mode=0):
+                 queue_size=3, mode=0, frames=None):
         self.engine = engine
         self.rec_dir = rec_dir
+        # optional pre-decoded frames [(idx, array), ...] — bypasses
+        # video/jpg decode (the reference's gpu_fps is also measured
+        # downstream of decode, run_mp.py:313-317)
+        self.frames = frames
         self.params = params or RadarParams()
         self.radar = RadarPipeline(calib, self.params)
         self.q = queue.Queue(maxsize=queue_size)
@@ -65,7 +69,9 @@ class StreamingPipeline:
             os.path.join(self.rec_dir, "pointcloud.pkl"))
         matches = match_frames(vtimes, rtimes, p.num_nearest)
         overlay = []
-        for idx, frame in FrameSource(self.rec_dir):
+        source = (self.frames if self.frames is not None
+                  else FrameSource(self.rec_dir))
+        for idx, frame in source:
             if idx >= len(matches):
                 break
             with self.timer("track"):
@@ -77,6 +83,13 @@ class StreamingPipeline:
                 out = self.radar.process(pts)
                 packed = self.engine.pack_radar(out["points_uvzv"],
                                                 out["proposals"])
+                # start the async H2D here: a host->device conversion in
+                # the consumer's dispatch path stalls the execution
+                # pipeline (~20x on the tunnel); by the time the consumer
+                # dispatches, these transfers are already in flight
+                import jax
+                frame = jax.device_put(np.ascontiguousarray(frame))
+                packed = tuple(jax.device_put(a) for a in packed)
             item = (idx, frame, packed)
             # drop-on-full back-pressure (run_mp.py:151-152)
             if self.q.full():
@@ -89,32 +102,51 @@ class StreamingPipeline:
         self.q.put(None)
 
     # -------------------------------------------------------------- consumer
-    def run(self, on_result=None, max_frames=None):
-        """Returns (n_frames, fps_report)."""
+    def run(self, on_result=None, max_frames=None, inflight_depth=24):
+        """Returns (n_frames, fps_report).
+
+        Device results are drained through an ``inflight_depth``-deep
+        window: dispatch is asynchronous (JAX arrays are futures), so the
+        next frames' host work and device steps overlap the oldest
+        frame's completion instead of blocking per frame — the
+        double-buffering role of the reference's mp.Queue(3), but between
+        the consumer and the accelerator.
+        """
+        import collections
         import time
         self.engine.warmup(self.mode)
         step = self.engine.step_fn(self.mode)
         t = threading.Thread(target=self._produce, daemon=True)
         t.start()
 
-        import jax
         import jax.numpy as jnp
+        inflight = collections.deque()
         n = 0
         t_start = time.perf_counter()
+
+        def drain_one():
+            nonlocal n
+            idx, boxes, valid = inflight.popleft()
+            with self.timer("device"):
+                boxes = np.asarray(boxes)       # blocks until ready
+                valid = np.asarray(valid)
+            if on_result is not None:
+                on_result(idx, boxes, valid)
+            n += 1
+
         while True:
             item = self.q.get()
             if item is None:
                 break
             idx, frame, (pts, pmask, rb, rmask) = item
-            with self.timer("device"):
-                boxes, valid = step(jnp.asarray(frame), pts, pmask, rb,
-                                    rmask)
-                jax.block_until_ready(valid)
-            if on_result is not None:
-                on_result(idx, np.asarray(boxes), np.asarray(valid))
-            n += 1
-            if max_frames and n >= max_frames:
+            boxes, valid = step(frame, pts, pmask, rb, rmask)
+            inflight.append((idx, boxes, valid))
+            if len(inflight) > inflight_depth:
+                drain_one()
+            if max_frames and n + len(inflight) >= max_frames:
                 break
+        while inflight:
+            drain_one()
         wall = time.perf_counter() - t_start
         report = dict(self.timer.report(), dropped=self.dropped,
                       e2e_fps=round(n / wall, 1) if wall else 0.0)

@@ -71,3 +71,19 @@ def test_fusion_dataset_and_loader(tmp_path):
     assert b["radar_maps"].shape == (2, 4, 4, 3)
     assert b["radar_boxes"].shape == (2, 4, 4)
     assert bool(b["rmask"][0, 0])
+
+
+def test_loader_propagates_worker_errors(tmp_path):
+    """Producer-thread exceptions must surface, not end iteration quietly."""
+    from millieye_tpu.data.loader import DataLoader, PaddedCollate
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def get(self, idx):
+            raise RuntimeError("boom")
+
+    loader = DataLoader(Broken(), 2, PaddedCollate(64))
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
