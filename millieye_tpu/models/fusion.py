@@ -37,8 +37,7 @@ Training-semantics notes:
 """
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -47,8 +46,7 @@ from millieye_tpu.models.darknet import Darknet
 from millieye_tpu.models import heads
 from millieye_tpu.ops.boxes import box_regress, xywh_to_xyxy, iou_matrix
 from millieye_tpu.ops.nms import batched_nms
-from millieye_tpu.ops.roi_align import (roi_align, ps_roi_align,
-                                         roi_align_batched,
+from millieye_tpu.ops.roi_align import (roi_align_batched,
                                          ps_roi_align_batched)
 
 

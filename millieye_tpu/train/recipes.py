@@ -156,3 +156,24 @@ def fusion_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2,
     return Trainer(make_fusion_train_step(model, tx, mode), ts, ckpt_dir,
                    name="module3",
                    viz_fn=fusion_viz(model, mode) if viz else None)
+
+
+def transfer_module2_to_fusion(refine_params, refine_state, fusion_params,
+                               fusion_state):
+    """Native-pytree equivalent of the reference's module2 -> module3
+    cross-load (module3 train.py:117-149): copy the stage-2 RefineNetwork's
+    fcn stack into img_cnn and its refinement nets 0-2 into the fusion
+    refinement head (radar_net stays freshly initialized). Pair with
+    ``STAGE3_FROZEN`` so the transferred subtrees stay frozen.
+    """
+    fusion_params = dict(fusion_params)
+    fusion_state = dict(fusion_state)
+    fusion_params["img_cnn"] = jax.tree.map(lambda x: x,
+                                            refine_params["fcn"])
+    fusion_state["img_cnn"] = jax.tree.map(lambda x: x,
+                                           refine_state["fcn"])
+    refine = dict(fusion_params["refine"])
+    for net in ("net0", "net1", "net2"):
+        refine[net] = refine_params["refine"][net]
+    fusion_params["refine"] = refine
+    return fusion_params, fusion_state

@@ -166,3 +166,60 @@ def test_evaluate_cli_end_to_end(tmp_path):
         "--illumination", "H", "--test_list", "0", "--model_mode", "0",
     ])
     assert m_ap is None or 0.0 <= m_ap <= 1.0
+
+
+def test_three_stage_workflow(tmp_path):
+    """The reference's full recipe in miniature: stage-1 YOLO -> stage-2
+    refine (frozen YOLO) -> native module2->module3 transfer -> stage-3
+    fusion training with the transferred subtrees frozen."""
+    import numpy as np
+    from test_cli import _write_fusion_dataset
+    from millieye_tpu.models.fusion import RefineNetwork
+    from millieye_tpu.train.recipes import transfer_module2_to_fusion
+    from millieye_tpu.train import frozen_adam, STAGE3_FROZEN
+    from millieye_tpu.train.steps import (init_train_state,
+                                          make_fusion_train_step)
+
+    darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S),
+                      img_size=S)
+    rmodel = RefineNetwork(darknet, FusionConfig(
+        conf_thresh=0.05, class_num=12, max_det=8, pre_nms_top_k=32,
+        loss_variant="module2", loss_lambda=(15.0, 5.0)))
+    rp, rs = rmodel.init(jax.random.PRNGKey(0))
+
+    fmodel = FusionNetwork(darknet, FusionConfig(
+        conf_thresh=0.05, max_det=8, max_radar=4, pre_nms_top_k=32))
+    fp, fs = fmodel.init(jax.random.PRNGKey(1))
+    fp2, fs2 = transfer_module2_to_fusion(rp, rs, fp, fs)
+    # transferred leaves identical; radar branch untouched
+    for a, b in zip(jax.tree.leaves(rp["fcn"]),
+                    jax.tree.leaves(fp2["img_cnn"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(fp["radar_enc"][0]["w"]),
+        np.asarray(fp2["radar_enc"][0]["w"]))
+
+    # one stage-3 step: transferred subtrees stay bit-identical
+    tx = frozen_adam(fp2, lr=1e-3, frozen_prefixes=STAGE3_FROZEN)
+    ts = init_train_state(fp2, fs2, tx)
+    step = jax.jit(make_fusion_train_step(fmodel, tx))
+    rng2 = np.random.default_rng(3)
+    rb = np.zeros((2, 4, 4), np.float32)
+    rb[..., :2] = rng2.uniform(0.1, 0.5, (2, 4, 2))
+    rb[..., 2:] = rb[..., :2] + 0.3
+    tg = np.zeros((2, 5, 5), np.float32)
+    tg[..., 1:3] = rng2.uniform(0.3, 0.7, (2, 5, 2))
+    tg[..., 3:5] = 0.2
+    batch = {"images": rng2.uniform(size=(2, S, S, 3)).astype(np.float32),
+             "radar_maps": rng2.uniform(size=(2, S // 16, S // 16, 3)).astype(
+                 np.float32),
+             "radar_boxes": rb, "rmask": np.ones((2, 4), bool),
+             "targets": tg, "tmask": np.ones((2, 5), bool)}
+    img_cnn0 = [np.array(x) for x in jax.tree.leaves(fp2["img_cnn"])]
+    net0_0 = np.array(fp2["refine"]["net0"]["w"])
+    ts2, metrics = step(ts, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics["loss"]))
+    for a, b in zip(img_cnn0, jax.tree.leaves(ts2.params["img_cnn"])):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    np.testing.assert_array_equal(net0_0,
+                                  np.asarray(ts2.params["refine"]["net0"]["w"]))
