@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--illumination", nargs="+", default=["L"])
     p.add_argument("--model_mode", type=int, default=0,
                    help="0 millieye / 1 yolo / 2 radar / 3 auto")
+    p.add_argument("--plot", default=None,
+                   help="write the global PR curve to this path "
+                        "(test_fusion.py plot/pr_*.jpg equivalent)")
     return p.parse_args(argv)
 
 
@@ -57,7 +60,8 @@ def main(argv=None):
         names = load_classes(args.class_names)
 
     if args.what == "fusion":
-        model, params, state = build_fusion(args)
+        model, params, state = build_fusion(
+            args, conf_thresh=args.conf_thresh, nms_thresh=args.nms_thresh)
         params, state = _load_fusion(model, params, state, args.weights)
         dataset = RadarFusionDataset(args.data_root, "test",
                                      tuple(args.illumination),
@@ -85,7 +89,9 @@ def main(argv=None):
                 conf_thresh=args.conf_thresh, nms_thresh=args.nms_thresh,
                 iou_thresh=args.iou_thresh)
         else:
-            model, params, state = build_refine(args)
+            model, params, state = build_refine(
+                args, conf_thresh=args.conf_thresh,
+                nms_thresh=args.nms_thresh)
             params, state = _load_fusion(model, params, state, args.weights)
             result = harness.evaluate_refine(
                 model, params, state, _batches(loader, args.img_size),
@@ -93,6 +99,11 @@ def main(argv=None):
 
     table, m_ap = harness.summarize(result, names)
     print(table)
+    if args.plot:
+        out = harness.save_pr_curve(result, args.plot,
+                                    title=f"{args.what} iou={args.iou_thresh}")
+        if out:
+            print("pr-curve:", out)
     return m_ap
 
 
