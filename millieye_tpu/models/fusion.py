@@ -70,6 +70,9 @@ class FusionConfig:
     compute_dtype: str = "float32"       # backbone conv dtype; "bfloat16"
                                          # runs the MXU at 2x (decode/NMS/
                                          # heads stay float32 for parity)
+    nms_use_pallas: bool = None          # None = auto (pallas on TPU);
+                                         # set False when running on CPU
+                                         # devices of a TPU-default process
 
 
 class FusionNetwork:
@@ -119,7 +122,8 @@ class FusionNetwork:
         feature_map = d_out["feature_map"]
         det, det_valid = batched_nms(
             d_out["detections"], cfg.conf_thresh, cfg.nms_thresh,
-            max_det=k_img, pre_top_k=cfg.pre_nms_top_k)
+            max_det=k_img, pre_top_k=cfg.pre_nms_top_k,
+            use_pallas=cfg.nms_use_pallas)
         det = jax.lax.stop_gradient(det)
         # keep only the fused class (my_models.py:463)
         det_valid = det_valid & (det[:, :, 6].astype(jnp.int32) == cfg.class_idx)
@@ -356,7 +360,8 @@ class RefineNetwork:
                                    compute_dtype=jnp.dtype(cfg.compute_dtype))
         det, det_valid = batched_nms(
             d_out["detections"], cfg.conf_thresh, cfg.nms_thresh,
-            max_det=k_img, pre_top_k=cfg.pre_nms_top_k)
+            max_det=k_img, pre_top_k=cfg.pre_nms_top_k,
+            use_pallas=cfg.nms_use_pallas)
         det = jax.lax.stop_gradient(det)
 
         img_xyxy = det[:, :, 0:4]
