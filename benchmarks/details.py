@@ -17,14 +17,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _measure(f, args, iters=30):
+def _measure(f, args, iters=50, windows=3):
+    """Best of several windows — the tunnel injects bursty host jitter."""
     import jax
     jax.block_until_ready(f(*args))          # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
@@ -47,7 +51,10 @@ def main():
         import contextlib
         with (jax.default_device(cpu) if cpu else contextlib.nullcontext()):
             params, state = model.init(jax.random.PRNGKey(0))
-        fp, fs = darknet.fold_batchnorm(params["darknet"], state["darknet"])
+        import jax.numpy as jnp
+        cast = jnp.bfloat16 if dtype == "bfloat16" else None
+        fp, fs = darknet.fold_batchnorm(params["darknet"],
+                                        state["darknet"], dtype=cast)
         return model, dict(params, darknet=fp), dict(state, darknet=fs)
 
     def inputs(b):
@@ -104,9 +111,14 @@ def main():
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_DETAILS.json")
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged.update(results)
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
-    print(json.dumps(results))
+        json.dump(merged, f, indent=1)
+    print(json.dumps(merged))
 
 
 if __name__ == "__main__":

@@ -287,24 +287,35 @@ class Darknet:
             out["state"] = new_state
         return out
 
-    def fold_batchnorm(self, params, state):
+    def fold_batchnorm(self, params, state, dtype=None):
         """Bake eval-mode BN into conv weight+bias for inference speed.
 
         Returns params usable with ``apply(..., state=folded_state)`` where
         BN blocks are replaced by biased convs (detected by the absence of
         "gamma"). Numerically identical to eval-mode BN.
+
+        ``dtype`` (e.g. jnp.bfloat16) casts the folded weights AND biases
+        once, so with a matching ``compute_dtype`` the whole conv stack
+        stays in that dtype — no per-layer f32 promotion ping-pong (the
+        bias add in f32 would otherwise upcast every activation). Decode
+        still runs in float32.
         """
         folded_params, folded_state = [], []
         for info, p, s in zip(self._plan, params, state):
             if info["type"] == "convolutional" and info["bn"]:
                 scale = p["gamma"] * jax.lax.rsqrt(s["var"] + _BN_EPS)
-                folded_params.append(
-                    {"w": p["w"] * scale, "b": p["beta"] - s["mean"] * scale}
-                )
+                fp = {"w": p["w"] * scale, "b": p["beta"] - s["mean"] * scale}
                 folded_state.append({})
+            elif info["type"] == "convolutional":
+                fp = dict(p)
+                folded_state.append(s)
             else:
                 folded_params.append(p)
                 folded_state.append(s)
+                continue
+            if dtype is not None:
+                fp = {k: v.astype(dtype) for k, v in fp.items()}
+            folded_params.append(fp)
         return folded_params, folded_state
 
     @property

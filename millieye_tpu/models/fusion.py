@@ -141,9 +141,10 @@ class FusionNetwork:
             return {"boxes": boxes_out, "valid": det_valid,
                     "num_img": k_img}
 
-        # 2. score maps
+        # 2. score maps (heads stay float32 whatever the backbone dtype)
         roi_score_map, img_cnn_s = heads.conv_bn_stack_apply(
-            params["img_cnn"], state["img_cnn"], feature_map, train)
+            params["img_cnn"], state["img_cnn"],
+            feature_map.astype(jnp.float32), train)
         radar_score_map, radar_enc_s = heads.radar_encoder_apply(
             params["radar_enc"], state["radar_enc"], radar_maps, train)
 
@@ -366,7 +367,8 @@ class RefineNetwork:
 
         img_xyxy = det[:, :, 0:4]
         roi_score_map, fcn_s = heads.conv_bn_stack_apply(
-            params["fcn"], state["fcn"], d_out["feature_map"], train)
+            params["fcn"], state["fcn"],
+            d_out["feature_map"].astype(jnp.float32), train)
 
         img_crop = ps_roi_align_batched(
             roi_score_map, img_xyxy, (7, 7), 1.0 / 16,
