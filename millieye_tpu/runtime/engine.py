@@ -35,8 +35,11 @@ class FusionEngine:
                  max_points=256, post_nms_iou=0.3, fold_bn=True):
         self.model = model
         if fold_bn:
+            cast = (jnp.dtype(model.cfg.compute_dtype)
+                    if model.cfg.compute_dtype != "float32" else None)
             fp, fs = model.darknet.fold_batchnorm(params["darknet"],
-                                                  state["darknet"])
+                                                  state["darknet"],
+                                                  dtype=cast)
             params = dict(params, darknet=fp)
             state = dict(state, darknet=fs)
         self.params = params
