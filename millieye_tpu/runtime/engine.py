@@ -92,7 +92,13 @@ class FusionEngine:
         return pts, pmask, rb, rmask
 
     def infer(self, frame_u8, points_uvzv, proposals_xyxy, mode=0):
-        """Full frame step; returns (boxes [K, 7] camera coords, valid [K])."""
+        """Full frame step; returns (boxes [K, 6] camera coords, valid [K]).
+
+        mode 3 ("auto", test_fusion.py:24-32): dark frames run the fusion
+        graph, bright frames the yolo-only graph, selected per frame from
+        the mean intensity (< 0.1 of full scale)."""
+        if mode == 3:
+            mode = 0 if float(np.mean(frame_u8)) < 0.1 * 255 else 1
         pts, pmask, rb, rmask = self.pack_radar(points_uvzv, proposals_xyxy)
         step = self.step_fn(mode)
         boxes, valid = step(jnp.asarray(frame_u8), pts, pmask, rb, rmask)
@@ -101,5 +107,8 @@ class FusionEngine:
     def warmup(self, mode=0):
         w, h = self.frame_size
         frame = np.zeros((h, w, 3), np.uint8)
+        if mode == 3:                       # compile both auto branches
+            self.warmup(0)
+            return self.warmup(1)
         out = self.infer(frame, np.zeros((0, 4)), np.zeros((0, 4)), mode)
         return out

@@ -83,6 +83,12 @@ class StreamingPipeline:
                 out = self.radar.process(pts)
                 packed = self.engine.pack_radar(out["points_uvzv"],
                                                 out["proposals"])
+                # mode 3 = per-frame auto selection on brightness
+                # (test_fusion.py:24-32), decided while the frame is
+                # still host-resident
+                sel = self.mode
+                if sel == 3:
+                    sel = 0 if float(np.mean(frame)) < 0.1 * 255 else 1
                 # start the async H2D here: a host->device conversion in
                 # the consumer's dispatch path stalls the execution
                 # pipeline (~20x on the tunnel); by the time the consumer
@@ -90,7 +96,7 @@ class StreamingPipeline:
                 import jax
                 frame = jax.device_put(np.ascontiguousarray(frame))
                 packed = tuple(jax.device_put(a) for a in packed)
-            item = (idx, frame, packed)
+            item = (idx, frame, packed, sel)
             # drop-on-full back-pressure (run_mp.py:151-152)
             if self.q.full():
                 try:
@@ -115,7 +121,6 @@ class StreamingPipeline:
         import collections
         import time
         self.engine.warmup(self.mode)
-        step = self.engine.step_fn(self.mode)
         t = threading.Thread(target=self._produce, daemon=True)
         t.start()
 
@@ -138,8 +143,9 @@ class StreamingPipeline:
             item = self.q.get()
             if item is None:
                 break
-            idx, frame, (pts, pmask, rb, rmask) = item
-            boxes, valid = step(frame, pts, pmask, rb, rmask)
+            idx, frame, (pts, pmask, rb, rmask), sel = item
+            boxes, valid = self.engine.step_fn(sel)(frame, pts, pmask, rb,
+                                                    rmask)
             inflight.append((idx, boxes, valid))
             if len(inflight) > inflight_depth:
                 drain_one()

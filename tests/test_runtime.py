@@ -102,3 +102,20 @@ def test_stage_timer():
         pass
     assert t.fps("a") > 0
     assert "a" in t.report()
+
+
+def test_engine_auto_mode(engine, rng):
+    """mode 3: bright frame routes to yolo-only, dark to fusion
+    (test_fusion.py:24-32 mode_selection)."""
+    dark = np.zeros((FRAME[1], FRAME[0], 3), np.uint8)
+    bright = np.full((FRAME[1], FRAME[0], 3), 200, np.uint8)
+    pts = np.zeros((0, 4))
+    props = np.array([[5.0, 5.0, 30.0, 40.0]])
+    # dark -> fusion graph: radar proposals may appear in the output
+    b_dark, v_dark = engine.infer(dark, pts, props, mode=3)
+    # bright -> yolo-only graph: radar proposals cannot appear
+    b_bright, v_bright = engine.infer(bright, pts, props, mode=3)
+    assert np.isfinite(b_dark).all() and np.isfinite(b_bright).all()
+    # yolo-only path has exactly max_det slots; fusion path has K+R
+    assert len(b_dark) == len(v_dark)
+    assert len(b_bright) == len(v_bright)
