@@ -103,3 +103,18 @@ def test_augment_flip(tmp_path):
     # flipped cx mirrors to 0.75 (utils/augmentations.py:6-9 semantics)
     seen = {round(float(ds.get(0)["targets"][0, 1]), 2) for _ in range(40)}
     assert seen == {0.25, 0.75}
+
+
+def test_exdark_coco_detector_mapping(tmp_path):
+    """coco_detector=True keeps COCO ids (for evaluating an 80-class
+    pretrained detector on ExDark, test_mixed.py usage)."""
+    root = tmp_path
+    cdir = EXDARK_NAMES[0]
+    _save_img(str(root / "Img" / cdir / "x.jpg"))
+    os.makedirs(root / "Label" / cdir)
+    (root / "Label" / cdir / "x.jpg.txt").write_text("Bicycle 1 1 10 10\n")
+    (root / "imageclasslist.txt").write_text("x.jpg 1 2 3 3\n")
+    from millieye_tpu.data.datasets import COCO_NAMES
+    ds = ExDarkDataset(str(root), mode="test", coco_detector=True)
+    t = ds.get(0)["targets"]
+    assert int(t[0, 0]) == COCO_NAMES.index("bicycle")
