@@ -8,6 +8,7 @@ from millieye_tpu.data.datasets import (
     ImageListDataset,
     ExDarkDataset,
     RadarFusionDataset,
+    ConcatDataset,
     COCO_NAMES,
     EXDARK_NAMES,
 )

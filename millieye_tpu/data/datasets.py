@@ -237,3 +237,22 @@ class RadarFusionDataset:
                 "radar_boxes": rbox.astype(np.float32),
                 "radar_points": points.astype(np.float32),
                 "frame_size": (w, h)}
+
+
+class ConcatDataset:
+    """Concatenation of datasets with the same item schema — the reference's
+    "mixed" stage-1/2 training joins COCO-subset and ExDark samples
+    (README.md:25-27; the list files are concatenated offline there)."""
+
+    def __init__(self, *datasets):
+        self.datasets = datasets
+
+    def __len__(self):
+        return sum(len(d) for d in self.datasets)
+
+    def get(self, idx):
+        for d in self.datasets:
+            if idx < len(d):
+                return d.get(idx)
+            idx -= len(d)
+        raise IndexError(idx)

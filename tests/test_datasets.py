@@ -118,3 +118,22 @@ def test_exdark_coco_detector_mapping(tmp_path):
     ds = ExDarkDataset(str(root), mode="test", coco_detector=True)
     t = ds.get(0)["targets"]
     assert int(t[0, 0]) == COCO_NAMES.index("bicycle")
+
+
+def test_concat_dataset(tmp_path):
+    from millieye_tpu.data.datasets import ConcatDataset
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    os.makedirs(lbl_dir)
+    for i in range(3):
+        _save_img(str(img_dir / f"{i}.jpg"))
+        (lbl_dir / f"{i}.txt").write_text(f"{i} 0.5 0.5 0.2 0.2\n")
+    l1 = tmp_path / "a.txt"
+    l1.write_text("\n".join(str(img_dir / f"{i}.jpg") for i in (0, 1)) + "\n")
+    l2 = tmp_path / "b.txt"
+    l2.write_text(str(img_dir / "2.jpg") + "\n")
+    ds = ConcatDataset(ImageListDataset(str(l1)), ImageListDataset(str(l2)))
+    assert len(ds) == 3
+    assert int(ds.get(2)["targets"][0, 0]) == 2
+    with pytest.raises(IndexError):
+        ds.get(3)
