@@ -23,3 +23,10 @@ from millieye_tpu.ops.letterbox import (
     resize_bilinear_align_corners,
 )
 from millieye_tpu.ops.targets import build_targets
+from millieye_tpu.ops.quantize import (
+    quantize_int8,
+    quantize_int8_stochastic,
+    dequantize,
+    quantize_darknet,
+    dequantize_darknet,
+)

@@ -1,0 +1,107 @@
+"""Int8 weight quantization (serving): XLA deterministic path + Pallas
+stochastic-rounding kernel.
+
+Weight-only int8 halves (vs bf16) or quarters (vs f32) the HBM bytes the
+backbone's weights occupy; dequantization fuses into the consuming conv.
+Two rounding modes:
+
+* ``quantize_int8``: per-channel absmax scaling with round-to-nearest —
+  plain XLA, used for post-training quantization of frozen weights;
+* ``quantize_int8_stochastic``: Pallas TPU kernel using the on-chip PRNG
+  (``pltpu.prng_random_bits`` + ``pltpu.stochastic_round``) — unbiased
+  rounding for quantization-aware flows, one kernel launch per tensor,
+  everything VMEM-resident. CPU/tests run it in interpret mode.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_int8(w, axis=-1):
+    """w -> (int8 values, float32 scales broadcastable along ``axis``)."""
+    absmax = jnp.max(jnp.abs(w), axis=tuple(
+        i for i in range(w.ndim) if i != (axis % w.ndim)), keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def dequantize(q, scale, dtype=jnp.float32):
+    return q.astype(dtype) * scale.astype(dtype)
+
+
+def _stochastic_kernel(seed_ref, x_ref, vals_ref, scale_ref):
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed_ref[0])
+    x = x_ref[:]
+    absmax = jnp.max(jnp.abs(x))
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    scale_ref[0, 0] = scale
+    scaled = x / scale
+    bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
+    # stochastic round via uniform offset in [0, 1): floor(x + u) is an
+    # unbiased integer rounding of x. Mosaic has no uint32->float cast;
+    # the top-24-bit value fits int32, so bitcast first.
+    u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (
+        1.0 / (1 << 24))
+    vals_ref[:] = jnp.clip(jnp.floor(scaled + u), -127, 127).astype(
+        jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def quantize_int8_stochastic(w2d, seed, interpret=False):
+    """w2d [M, N] float -> (int8 values [M, N], float32 scale []) with a
+    per-tensor scale and unbiased stochastic rounding on the TPU PRNG."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, n = w2d.shape
+    vals, scale = pl.pallas_call(
+        _stochastic_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), w2d.astype(jnp.float32))
+    return vals.astype(jnp.int8), scale[0, 0]
+
+
+def quantize_darknet(folded_params, axis=-1):
+    """Post-training weight-only int8 for a BN-folded darknet: conv
+    weights [k, k, cin, cout] quantized per output channel; biases stay
+    float. Returns a pytree of {"q", "scale", "b"} / passthrough dicts
+    consumable by ``dequantize_darknet``."""
+    out = []
+    for p in folded_params:
+        if "w" in p and p["w"].ndim == 4:
+            q, scale = quantize_int8(p["w"], axis=axis)
+            out.append({"q": q, "scale": scale, "b": p.get("b")})
+        else:
+            out.append(p)
+    return out
+
+
+def dequantize_darknet(qparams, dtype=jnp.float32):
+    out = []
+    for p in qparams:
+        if "q" in p:
+            d = {"w": dequantize(p["q"], p["scale"], dtype)}
+            if p.get("b") is not None:
+                d["b"] = p["b"]
+            out.append(d)
+        else:
+            out.append(p)
+    return out
