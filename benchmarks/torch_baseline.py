@@ -104,28 +104,29 @@ def nms_greedy(boxes, scores, iou_thresh=0.5):
 
 
 def roi_align_torch(feat, rois, out=7, scale=1.0 / 16):
-    """Plain-torch bilinear RoIAlign (adaptive 2x2 sampling)."""
+    """Vectorized torch RoIAlign via grid_sample (one batched bilinear
+    gather for all rois — the FAIR way to write this workload in torch;
+    a per-roi python loop would understate the baseline)."""
     n, c, h, w = feat.shape
-    crops = []
-    for r in rois:
-        b = int(r[0])
-        x1, y1, x2, y2 = (r[1:] * scale).tolist()
-        rw, rh = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
-        ys = torch.linspace(y1, y1 + rh, 2 * out + 1)[1::2]
-        xs = torch.linspace(x1, x1 + rw, 2 * out + 1)[1::2]
-        gy = ys.clamp(0, h - 1)
-        gx = xs.clamp(0, w - 1)
-        y0 = gy.floor().long().clamp(max=h - 2)
-        x0 = gx.floor().long().clamp(max=w - 2)
-        ly = (gy - y0.float()).view(-1, 1, 1)
-        lx = (gx - x0.float()).view(1, -1, 1)
-        f = feat[b].permute(1, 2, 0)
-        v = (f[y0][:, x0] * (1 - ly) * (1 - lx)
-             + f[y0][:, x0 + 1] * (1 - ly) * lx
-             + f[y0 + 1][:, x0] * ly * (1 - lx)
-             + f[y0 + 1][:, x0 + 1] * ly * lx)
-        crops.append(v.permute(2, 0, 1))
-    return torch.stack(crops) if crops else feat.new_zeros(0, c, out, out)
+    k = len(rois)
+    if k == 0:
+        return feat.new_zeros(0, c, out, out)
+    b = rois[:, 0].long()
+    x1 = rois[:, 1] * scale
+    y1 = rois[:, 2] * scale
+    rw = (rois[:, 3] * scale - x1).clamp(min=1.0)
+    rh = (rois[:, 4] * scale - y1).clamp(min=1.0)
+    # bin-center sample positions, 1 tap per bin
+    steps = (torch.arange(out, dtype=torch.float32) + 0.5) / out
+    ys = y1[:, None] + rh[:, None] * steps[None, :]          # [k, out]
+    xs = x1[:, None] + rw[:, None] * steps[None, :]
+    # normalize to [-1, 1] for grid_sample (align_corners=False)
+    gy = ys * 2 / h - 1
+    gx = xs * 2 / w - 1
+    grid = torch.stack([gx[:, None, :].expand(k, out, out),
+                        gy[:, :, None].expand(k, out, out)], -1)
+    return F.grid_sample(feat[b], grid, mode="bilinear",
+                          align_corners=False, padding_mode="border")
 
 
 class FusionTorch(nn.Module):
