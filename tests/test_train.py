@@ -147,3 +147,24 @@ def test_orbax_roundtrip(tmp_path, fusion):
     back = load_orbax(path)
     for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multiscale_yolo_training(rng):
+    """Multiscale training recompiles once per distinct size and keeps
+    training (ListDataset.collate_fn semantics, module2 datasets.py:158-162)."""
+    darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S),
+                      img_size=S)
+    params, state = darknet.init(jax.random.PRNGKey(0))
+    tx = frozen_adam(params, lr=1e-3, every_k=1)
+    ts = init_train_state(params, state, tx)
+    step = jax.jit(make_yolo_train_step(darknet, tx))
+    tg = np.zeros((2, 4, 5), np.float32)
+    tg[..., 1:3] = rng.uniform(0.3, 0.7, (2, 4, 2))
+    tg[..., 3:5] = 0.2
+    for size in (96, 128, 96):          # revisit 96: cache hit
+        batch = {"images": rng.uniform(size=(2, size, size, 3)).astype(
+                     np.float32),
+                 "targets": tg, "tmask": np.ones((2, 4), bool)}
+        ts, metrics = step(ts, batch, None)
+        assert np.isfinite(float(metrics["loss"])), size
+    assert int(ts.step) == 3
