@@ -33,15 +33,13 @@ def dequantize(q, scale, dtype=jnp.float32):
     return q.astype(dtype) * scale.astype(dtype)
 
 
-def _stochastic_kernel(seed_ref, x_ref, vals_ref, scale_ref):
+def _stochastic_kernel(seed_ref, scale_ref, x_ref, vals_ref):
+    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    pltpu.prng_seed(seed_ref[0])
-    x = x_ref[:]
-    absmax = jnp.max(jnp.abs(x))
-    scale = jnp.maximum(absmax, 1e-8) / 127.0
-    scale_ref[0, 0] = scale
-    scaled = x / scale
+    # distinct stream per grid tile
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    scaled = x_ref[:] / scale_ref[0]
     bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
     # stochastic round via uniform offset in [0, 1): floor(x + u) is an
     # unbiased integer rounding of x. Mosaic has no uint32->float cast;
@@ -52,31 +50,38 @@ def _stochastic_kernel(seed_ref, x_ref, vals_ref, scale_ref):
         jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def quantize_int8_stochastic(w2d, seed, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "row_tile"))
+def quantize_int8_stochastic(w2d, seed, interpret=False, row_tile=512):
     """w2d [M, N] float -> (int8 values [M, N], float32 scale []) with a
-    per-tensor scale and unbiased stochastic rounding on the TPU PRNG."""
+    per-tensor scale and unbiased stochastic rounding on the TPU PRNG.
+    Gridded over row tiles so arbitrarily large tensors fit VMEM; the
+    absmax scale is a cheap XLA reduction outside the kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    w2d = w2d.astype(jnp.float32)
     m, n = w2d.shape
-    vals, scale = pl.pallas_call(
+    scale = jnp.maximum(jnp.max(jnp.abs(w2d)), 1e-8) / 127.0
+    tile = min(row_tile, m)
+    pad = (-m) % tile
+    if pad:
+        w2d = jnp.pad(w2d, ((0, pad), (0, 0)))
+    grid = (w2d.shape[0] // tile,)
+    vals = pl.pallas_call(
         _stochastic_kernel,
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((m, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ),
+            pl.BlockSpec((tile, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(w2d.shape, jnp.float32),
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), w2d.astype(jnp.float32))
-    return vals.astype(jnp.int8), scale[0, 0]
+    )(jnp.asarray([seed], jnp.int32), scale.reshape(1), w2d)
+    return vals[:m].astype(jnp.int8), scale
 
 
 def quantize_darknet(folded_params, axis=-1):

@@ -60,3 +60,17 @@ def test_quantized_darknet_forward_close(rng):
     # boxes in pixels: small relative error after 13 quantized convs
     assert np.abs(a[..., :4] - b[..., :4]).max() < 0.05 * S
     assert np.abs(a[..., 4:] - b[..., 4:]).max() < 0.1
+
+
+def test_stochastic_kernel_tiles_large_tensors(rng):
+    """Row-tiled grid handles tensors larger than one VMEM block."""
+    from jax.experimental.pallas import tpu as pltpu
+    w = rng.standard_normal((1030, 128)).astype(np.float32)   # non-multiple
+    with pltpu.force_tpu_interpret_mode():
+        q, scale = quantize_int8_stochastic(jnp.asarray(w), seed=0,
+                                            row_tile=256)
+    q = np.asarray(q)
+    assert q.shape == w.shape
+    # zero random bits on CPU -> floor; check the bound |deq - w| <= scale
+    back = q.astype(np.float64) * float(scale)
+    assert (np.abs(back - w) <= float(scale) + 1e-7).all()
