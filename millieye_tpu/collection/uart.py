@@ -84,11 +84,15 @@ class FrameAssembler:
     def feed(self, chunk):
         self.buf.extend(chunk)
         frames = []
+        # loop while a frame pops out OR garbage was consumed (a corrupted
+        # header may be skipped without yielding a frame; keep rescanning)
         while True:
+            before = len(self.buf)
             got = self._parse_one()
-            if got is None:
+            if got is not None:
+                frames.append(got)
+            elif len(self.buf) == before:
                 break
-            frames.append(got)
         return frames
 
     def _parse_one(self):
@@ -119,7 +123,12 @@ class FrameAssembler:
             return None
         u32 = lambda off: int(view[off:off + 4].view(np.uint32)[0])
         total_len = u32(12)
-        if total_len < 40 or len(view) < total_len:
+        if total_len < 40 or total_len > (1 << 20):
+            # corrupted header: skip this magic and rescan instead of
+            # stalling forever waiting for a bogus frame length
+            del self.buf[:start + 8]
+            return None
+        if len(view) < total_len:
             del self.buf[:start]
             return None
         frame_no, num_obj, num_tlvs = u32(20), u32(28), u32(32)

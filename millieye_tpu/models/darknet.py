@@ -247,9 +247,14 @@ class Darknet:
                         mean = jnp.mean(x, axis=(0, 1, 2))
                         var = jnp.var(x, axis=(0, 1, 2))
                         m = _BN_MOMENTUM
+                        # torch BN normalizes with the biased batch variance
+                        # but updates running_var with the UNBIASED one
+                        # (Bessel n/(n-1) over N*H*W elements)
+                        cnt = x.shape[0] * x.shape[1] * x.shape[2]
+                        var_u = var * (cnt / max(cnt - 1, 1))
                         new_state[i] = {
                             "mean": (1 - m) * state[i]["mean"] + m * mean,
-                            "var": (1 - m) * state[i]["var"] + m * var,
+                            "var": (1 - m) * state[i]["var"] + m * var_u,
                         }
                     else:
                         mean, var = state[i]["mean"], state[i]["var"]

@@ -201,8 +201,10 @@ class FusionNetwork:
         else:
             out_xyxy = box_regress(regress_param, all_xyxy)
 
+        # radar rows carry refinement_vector column 1 (the class score) as
+        # their class_score, not column 0 (confidence) — my_models.py:500-507
         class_score = jnp.concatenate(
-            [img_class_score, refinement_vector[:, k_img:, 0]], axis=1)
+            [img_class_score, refinement_vector[:, k_img:, 1]], axis=1)
         class_pred = jnp.concatenate(
             [img_class_pred, jnp.zeros((b_sz, r_rad))], axis=1)
         boxes_out = jnp.concatenate(

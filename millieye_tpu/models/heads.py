@@ -60,15 +60,22 @@ def batch_norm(x, p, s, train, weight=None, momentum=_HEAD_BN_MOMENTUM):
         if weight is None:
             mean = jnp.mean(x, axis=tuple(range(x.ndim - 1)))
             var = jnp.var(x, axis=tuple(range(x.ndim - 1)))
+            cnt = 1
+            for d in x.shape[:-1]:
+                cnt *= d
+            var_u = var * (cnt / max(cnt - 1, 1))
         else:
             wsum = jnp.maximum(weight.sum(), 1.0)
             wx = weight[..., None]
             mean = (x * wx).sum(axis=tuple(range(x.ndim - 1))) / wsum
             var = (((x - mean) ** 2) * wx).sum(
                 axis=tuple(range(x.ndim - 1))) / wsum
+            var_u = var * (wsum / jnp.maximum(wsum - 1.0, 1.0))
+        # running_var tracks the UNBIASED batch variance (torch semantics);
+        # normalization below uses the biased one
         new_s = {
             "mean": (1 - momentum) * s["mean"] + momentum * mean,
-            "var": (1 - momentum) * s["var"] + momentum * var,
+            "var": (1 - momentum) * s["var"] + momentum * var_u,
         }
     else:
         mean, var, new_s = s["mean"], s["var"], s

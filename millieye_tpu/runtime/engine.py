@@ -56,6 +56,20 @@ class FusionEngine:
         w, h = self.frame_size
 
         def step(frame_u8, points, pmask, radar_boxes, radar_mask):
+            # sanitize untrusted sensor inputs so the compiled graph is
+            # total: non-finite radar points/boxes are masked invalid (a
+            # NaN depth would otherwise poison its heatmap bin), box
+            # coords clamp to the normalized frame and empty boxes drop
+            points = jnp.asarray(points, jnp.float32)
+            pmask = pmask & jnp.isfinite(points).all(-1)
+            points = jnp.where(jnp.isfinite(points), points, 0.0)
+            rb = jnp.asarray(radar_boxes, jnp.float32)
+            finite_rb = jnp.isfinite(rb).all(-1)
+            rb = jnp.clip(jnp.where(jnp.isfinite(rb), rb, 0.0), 0.0, 1.0)
+            nonempty = (rb[:, 2] > rb[:, 0]) & (rb[:, 3] > rb[:, 1])
+            radar_mask = radar_mask & finite_rb & nonempty
+            radar_boxes = rb
+
             img, _ = lb.letterbox_image(frame_u8, s)
             heat = radar_heatmap(points, pmask, (w, h))
             heat, _ = lb.pad_to_square(heat, 0.0)

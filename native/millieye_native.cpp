@@ -147,7 +147,15 @@ int me_parse_mmwave_frame(const uint8_t* buf, long len, float* xyzv_out,
   const long avail = len - start;
   if (avail < 40) return 0;        // header incomplete
   const uint32_t total_len = rd_u32(f + 12);
-  if (total_len < 40 || avail < static_cast<long>(total_len)) return 0;
+  // a corrupted header with a huge total_len must not stall the stream
+  // waiting for bytes that never come: treat it as a false-positive magic,
+  // consume past it and rescan
+  const uint32_t kMaxFrameLen = 1u << 20;
+  if (total_len < 40 || total_len > kMaxFrameLen) {
+    *consumed = start + 8;
+    return 0;
+  }
+  if (avail < static_cast<long>(total_len)) return 0;
 
   const uint32_t frame_no = rd_u32(f + 20);
   const uint32_t num_obj = rd_u32(f + 28);

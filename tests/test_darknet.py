@@ -208,3 +208,69 @@ def test_full_yolov3_topology_and_shapes():
     assert out["detections"].shape == (1, expect, 85)
     # feature tap at layer 36: stride 8, 256 channels
     assert out["feature_map"].shape == (1, s // 8, s // 8, 256)
+
+
+def test_bn_running_stats_match_torch_train(mini, rng):
+    """Three train-mode forwards: running mean/var must track torch's
+    (biased var normalizes, UNBIASED var feeds the running EMA)."""
+    model, params, state = mini
+    mods = {}
+    for i, info in enumerate(model._plan):
+        if info["type"] == "convolutional" and info["bn"]:
+            bn = nn.BatchNorm2d(info["filters"], eps=1e-5, momentum=0.9)
+            bn.weight.data = torch.tensor(np.asarray(params[i]["gamma"]))
+            bn.bias.data = torch.tensor(np.asarray(params[i]["beta"]))
+            bn.running_mean.data = torch.tensor(np.asarray(state[i]["mean"]))
+            bn.running_var.data = torch.tensor(np.asarray(state[i]["var"]))
+            bn.train()
+            mods[i] = bn
+
+    st = state
+    with torch.no_grad():
+        for step in range(3):
+            x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+            st = model.apply(params, st, jnp.asarray(x), train=True)["state"]
+
+            outputs = []
+            xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+            for i, info in enumerate(model._plan):
+                t = info["type"]
+                if t == "convolutional":
+                    p = params[i]
+                    w = torch.tensor(
+                        np.transpose(np.asarray(p["w"]), (3, 2, 0, 1)))
+                    inp = outputs[-1] if outputs else xt
+                    y = nn.functional.conv2d(
+                        inp, w, None if info["bn"] else torch.tensor(
+                            np.asarray(p["b"])),
+                        info["stride"], (info["size"] - 1) // 2)
+                    if info["bn"]:
+                        y = mods[i](y)
+                    if info["act"] == "leaky":
+                        y = nn.functional.leaky_relu(y, 0.1)
+                elif t == "maxpool":
+                    if info["size"] == 2 and info["stride"] == 1:
+                        y = nn.functional.pad(outputs[-1], (0, 1, 0, 1))
+                        y = nn.functional.max_pool2d(y, 2, 1)
+                    else:
+                        y = nn.functional.max_pool2d(
+                            outputs[-1], info["size"], info["stride"])
+                elif t == "upsample":
+                    y = nn.functional.interpolate(
+                        outputs[-1], scale_factor=info["factor"],
+                        mode="nearest")
+                elif t == "route":
+                    y = torch.cat([outputs[l] for l in info["layers"]], 1)
+                elif t == "shortcut":
+                    y = outputs[-1] + outputs[info["frm"]]
+                else:  # yolo
+                    y = outputs[-1]
+                outputs.append(y)
+
+    for i, bn in mods.items():
+        np.testing.assert_allclose(
+            np.asarray(st[i]["mean"]), bn.running_mean.numpy(),
+            rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(st[i]["var"]), bn.running_var.numpy(),
+            rtol=1e-4, atol=1e-5)

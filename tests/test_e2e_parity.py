@@ -330,7 +330,10 @@ def test_fusion_network_full_pipeline_parity(rng):
     bhr = np.exp(np.clip(reg[:, 3], -20, 20)) * bh
     ref_boxes = np.stack([cxr - bwr / 2, cyr - bhr / 2,
                           cxr + bwr / 2, cyr + bhr / 2], -1)
-    class_score = np.concatenate([det_rows[:, 5], conf[n_img:, 0]])
+    # radar rows: reference output col 6 = radar_boxes col 6
+    # = refinement_vector[:, 1] (class score), my_models.py:500-507 — NOT
+    # the fused confidence column
+    class_score = np.concatenate([det_rows[:, 5], vec[n_img:, 1]])
     class_pred = np.concatenate([det_rows[:, 6], np.zeros(n_all - n_img)])
     prio = fg * np.concatenate([np.ones(n_img),
                                 np.full(n_all - n_img, 1 / 5)])

@@ -148,3 +148,51 @@ def test_radar_encoder_parity(rng):
         x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                rtol=RTOL, atol=1e-5)
+
+
+def test_batch_norm_running_stats_torch(rng):
+    """heads.batch_norm running stats after N train steps == torch
+    BatchNorm1d (unbiased running-var update)."""
+    c = 6
+    p = {"gamma": jnp.asarray(rnd(rng, c) * 0.1 + 1.0),
+         "beta": jnp.asarray(rnd(rng, c) * 0.1)}
+    s = {"mean": jnp.zeros(c), "var": jnp.ones(c)}
+    bn = tnn.BatchNorm1d(c, eps=1e-5, momentum=0.1)
+    bn.weight.data = torch.tensor(np.asarray(p["gamma"]))
+    bn.bias.data = torch.tensor(np.asarray(p["beta"]))
+    bn.train()
+    with torch.no_grad():
+        for _ in range(4):
+            x = rnd(rng, 9, c)
+            y, s = heads.batch_norm(jnp.asarray(x), p, s, train=True)
+            yt = bn(torch.tensor(x))
+            np.testing.assert_allclose(np.asarray(y), yt.numpy(), rtol=1e-4,
+                                       atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s["mean"]), bn.running_mean.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s["var"]), bn.running_var.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_batch_norm_weighted_running_stats_torch(rng):
+    """Masked batch_norm == torch BN run on only the real rows (Bessel
+    correction over the real-row count)."""
+    c, n_real, n_pad = 5, 7, 4
+    p = {"gamma": jnp.ones(c), "beta": jnp.zeros(c)}
+    s = {"mean": jnp.zeros(c), "var": jnp.ones(c)}
+    bn = tnn.BatchNorm1d(c, eps=1e-5, momentum=0.1)
+    bn.train()
+    x = rnd(rng, n_real + n_pad, c)
+    x[n_real:] = 777.0  # garbage in the padded rows
+    w = np.zeros(n_real + n_pad, np.float32)
+    w[:n_real] = 1.0
+    with torch.no_grad():
+        y, s = heads.batch_norm(jnp.asarray(x), p, s, train=True,
+                                weight=jnp.asarray(w))
+        bn(torch.tensor(x[:n_real]))
+    np.testing.assert_allclose(np.asarray(s["mean"]), bn.running_mean.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s["var"]), bn.running_var.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y[:n_real]),
+                               np.asarray(y)[:n_real], rtol=1e-5)
