@@ -64,7 +64,9 @@ def _letterbox_item(img, boxes_xyxy_abs, classes):
     s = img.shape[0]
     if len(boxes_xyxy_abs) == 0:
         return img, np.zeros((0, 5), np.float32), pad
-    b = np.asarray(boxes_xyxy_abs, np.float64)
+    # explicit copy: a float64 input would alias through np.asarray and the
+    # in-place pad shift below would corrupt the caller's boxes
+    b = np.array(boxes_xyxy_abs, np.float64)
     b[:, 0] += pad[0]
     b[:, 2] += pad[1]
     b[:, 1] += pad[2]

@@ -285,7 +285,9 @@ class Darknet:
 
         out = {
             "feature_map": feature_map,
-            "detections": lax.stop_gradient(jnp.concatenate(dets, 1)),
+            # truncated configs (profiling prefixes) have no yolo blocks
+            "detections": (lax.stop_gradient(jnp.concatenate(dets, 1))
+                           if dets else outputs[-1]),
             "preds": preds,
         }
         if train:
