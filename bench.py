@@ -45,7 +45,11 @@ def main():
 
     fn, args = entry()
     step = jax.jit(fn)
-    jax.block_until_ready(step(*args))          # compile
+    # Compile + warm-up barrier: through the axon relay,
+    # block_until_ready can return EARLY while the remote compile is
+    # still pending — an actual device->host fetch is the only reliable
+    # completion barrier, so every window ends with one.
+    np.asarray(step(*args)[1])
     # best of several measurement windows: the tunnel adds bursty host
     # jitter that a single window conflates with device time
     iters, windows = 100, 3
@@ -54,7 +58,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step(*args)
-        jax.block_until_ready(out)
+        np.asarray(out[1])                      # fetch barrier (tiny mask)
         best = min(best, (time.perf_counter() - t0) / iters)
     fps = 1.0 / best
 

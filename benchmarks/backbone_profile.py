@@ -135,6 +135,39 @@ def _s2d_weight_spec(k, cin, cout):
     return spec
 
 
+def make_s2d_im2col_stage(w, b):
+    """Same math as make_s2d_stage, but the 3x3 block window is
+    materialized as patches so the matmul contraction is 36*Cin (full MXU
+    lanes even for the 3-channel stem), at the cost of writing the patch
+    tensor to HBM. Wins when the stage is lane-bound, loses when the
+    patch traffic exceeds the MXU saving."""
+    cout = w.shape[3]
+    wp = s2d_conv_weight_np(w)                   # [3, 3, 4C, 4D]
+    wm = jnp.asarray(wp.reshape(9 * wp.shape[2], wp.shape[3]))
+
+    def fn(z):                                  # z: [N, H/2, W/2, 4C]
+        n, h, ww, c4 = z.shape
+        zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        patches = jnp.concatenate(
+            [zp[:, dy:dy + h, dx:dx + ww] for dy in range(3)
+             for dx in range(3)], -1)           # [N, H/2, W/2, 36C]
+        y = jnp.einsum("nhwk,kd->nhwd", patches, wm.astype(z.dtype))
+        y = y.reshape(n, h, ww, 4, cout).max(axis=3)
+        return leaky(y + b.astype(y.dtype))
+
+    return fn
+
+
+def s2d_conv_weight_np(w):
+    k, _, cin, cout = w.shape
+    wp = np.zeros((3, 3, 4 * cin, 4 * cout), np.float32)
+    w_np = np.asarray(w, np.float32)
+    for (ph_out, u, v, wy, wx, ph_in) in _s2d_weight_spec(k, cin, cout):
+        wp[wy, wx, ph_in * cin:(ph_in + 1) * cin,
+           ph_out * cout:(ph_out + 1) * cout] += w_np[u, v]
+    return wp
+
+
 def make_s2d_stage(w, b):
     """conv3x3+pool stage -> (fn over s2d input, s2d weights).
 
@@ -252,8 +285,10 @@ def verify_variants():
     ref = stage_plain(x, w, b)
     v1 = stage_offset4(x, w, b)
     v2 = make_s2d_stage(w, b)(s2d(x))
+    v3 = make_s2d_im2col_stage(w, b)(s2d(x))
     assert jnp.allclose(ref, v1, atol=1e-5), float(jnp.abs(ref - v1).max())
     assert jnp.allclose(ref, v2, atol=1e-5), float(jnp.abs(ref - v2).max())
+    assert jnp.allclose(ref, v3, atol=1e-5), float(jnp.abs(ref - v3).max())
     return True
 
 

@@ -73,6 +73,9 @@ class FusionConfig:
     nms_use_pallas: bool = None          # None = auto (pallas on TPU);
                                          # set False when running on CPU
                                          # devices of a TPU-default process
+    weights_int8: bool = False           # serving: backbone conv weights
+                                         # stored int8 (per-out-channel
+                                         # scales), dequant fused in-graph
 
 
 class FusionNetwork:

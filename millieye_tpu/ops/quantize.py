@@ -87,13 +87,19 @@ def quantize_int8_stochastic(w2d, seed, interpret=False, row_tile=512):
 def quantize_darknet(folded_params, axis=-1):
     """Post-training weight-only int8 for a BN-folded darknet: conv
     weights [k, k, cin, cout] quantized per output channel; biases stay
-    float. Returns a pytree of {"q", "scale", "b"} / passthrough dicts
-    consumable by ``dequantize_darknet``."""
+    float. Handles both plain ("w") and space-to-depth-fused ("w2")
+    slots. Returns a pytree of {"q"/"q2", "scale", "b"} / passthrough
+    dicts consumable by ``dequantize_darknet`` or directly by
+    ``Darknet.apply`` (in-graph dequant: the conv's HBM weight read is
+    int8, the cast fuses into the consumer)."""
     out = []
     for p in folded_params:
         if "w" in p and p["w"].ndim == 4:
             q, scale = quantize_int8(p["w"], axis=axis)
             out.append({"q": q, "scale": scale, "b": p.get("b")})
+        elif "w2" in p and p["w2"].ndim == 4:
+            q, scale = quantize_int8(p["w2"], axis=axis)
+            out.append({"q2": q, "scale": scale, "b": p.get("b")})
         else:
             out.append(p)
     return out
@@ -102,8 +108,9 @@ def quantize_darknet(folded_params, axis=-1):
 def dequantize_darknet(qparams, dtype=jnp.float32):
     out = []
     for p in qparams:
-        if "q" in p:
-            d = {"w": dequantize(p["q"], p["scale"], dtype)}
+        if "q" in p or "q2" in p:
+            key = "w" if "q" in p else "w2"
+            d = {key: dequantize(p.get("q", p.get("q2")), p["scale"], dtype)}
             if p.get("b") is not None:
                 d["b"] = p["b"]
             out.append(d)

@@ -40,6 +40,11 @@ class FusionEngine:
             fp, fs = model.darknet.fold_batchnorm(params["darknet"],
                                                   state["darknet"],
                                                   dtype=cast)
+            if model.darknet.s2d_stages:
+                fp = model.darknet.fold_s2d(fp)
+            if model.cfg.weights_int8:
+                from millieye_tpu.ops.quantize import quantize_darknet
+                fp = quantize_darknet(fp)
             params = dict(params, darknet=fp)
             state = dict(state, darknet=fs)
         self.params = params
