@@ -1,9 +1,15 @@
 """Extended TPU measurements beyond bench.py's single headline line.
 
-Writes BENCH_DETAILS.json: batch-throughput sweep, bfloat16 backbone
-variant, stage-3 train-step rate. Run manually on the TPU host:
+Writes BENCH_DETAILS.json: batch-throughput sweep over backbone variants
+(plain / space-to-depth stem / s2d+int8 weights) x dtype, stage-3
+train-step rate. Run manually on the TPU host:
 
     python benchmarks/details.py
+
+Timing methodology (this box): every window ends in a device->host fetch
+of a small output — through the axon relay, ``block_until_ready`` can
+return early while a remote compile is pending, so fetches are the only
+reliable barrier.
 """
 from __future__ import annotations
 
@@ -17,16 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _measure(f, args, iters=50, windows=3):
-    """Best of several windows — the tunnel injects bursty host jitter."""
+def _measure(f, args, iters=50, windows=3, fetch=lambda out: out[1]):
     import jax
-    jax.block_until_ready(f(*args))          # compile
+    np.asarray(fetch(f(*args)))              # compile + completion barrier
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = f(*args)
-        jax.block_until_ready(out)
+        np.asarray(fetch(out))               # fetch barrier
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -37,24 +42,28 @@ def main():
     import __graft_entry__ as g        # enables the compile cache
     from millieye_tpu.models import Darknet, tiny_yolov3_defs
     from millieye_tpu.models.fusion import FusionConfig, FusionNetwork
+    from millieye_tpu.ops.quantize import quantize_darknet
 
     s = 416
     rng = np.random.default_rng(0)
     results = {"device": str(jax.devices()[0])}
 
-    def build(dtype):
+    def build(dtype, s2d=(), int8=False):
         darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=s),
-                          img_size=s)
+                          img_size=s, s2d_stages=s2d)
         cfg = FusionConfig(compute_dtype=dtype)
         model = FusionNetwork(darknet, cfg)
         cpu = g._init_device()
         import contextlib
         with (jax.default_device(cpu) if cpu else contextlib.nullcontext()):
             params, state = model.init(jax.random.PRNGKey(0))
-        import jax.numpy as jnp
-        cast = jnp.bfloat16 if dtype == "bfloat16" else None
-        fp, fs = darknet.fold_batchnorm(params["darknet"],
-                                        state["darknet"], dtype=cast)
+            cast = jnp.bfloat16 if dtype == "bfloat16" else None
+            fp, fs = darknet.fold_batchnorm(params["darknet"],
+                                            state["darknet"], dtype=cast)
+            if s2d:
+                fp = darknet.fold_s2d(fp)
+            if int8:
+                fp = quantize_darknet(fp)
         return model, dict(params, darknet=fp), dict(state, darknet=fs)
 
     def inputs(b):
@@ -66,18 +75,24 @@ def main():
         rb[..., 2:] = rb[..., :2] + 0.2
         return images, maps, jnp.asarray(rb), jnp.ones((b, 32), bool)
 
+    VARIANTS = (("plain", (), False),
+                ("s2d", (0, 2), False),
+                ("s2d_int8", (0, 2), True))
     for dtype in ("float32", "bfloat16"):
-        model, params, state = build(dtype)
+        for vname, s2d, int8 in VARIANTS:
+            model, params, state = build(dtype, s2d, int8)
 
-        def fwd(i, m, r, v):
-            out = model.apply(params, state, i, m, r, v, mode=0)
-            return out["boxes"], out["valid"]
+            def fwd(i, m, r, v):
+                out = model.apply(params, state, i, m, r, v, mode=0)
+                return out["boxes"], out["valid"]
 
-        step = jax.jit(fwd)
-        for b in (1, 8):
-            dt = _measure(step, inputs(b))
-            results[f"fusion_fwd_{dtype}_b{b}_fps"] = round(b / dt, 1)
-            print(f"fusion {dtype} b{b}: {b/dt:.1f} fps", flush=True)
+            step = jax.jit(fwd)
+            for b in (1, 8, 32):
+                dt = _measure(step, inputs(b),
+                              iters=(100 if b == 1 else 30))
+                key = f"fusion_fwd_{dtype}_{vname}_b{b}_fps"
+                results[key] = round(b / dt, 1)
+                print(f"{key}: {results[key]}", flush=True)
 
     # stage-3 train step (frozen subtrees, grad accumulation off for a
     # clean per-step number)
@@ -97,13 +112,13 @@ def main():
              "rmask": rv, "targets": jnp.asarray(tg),
              "tmask": jnp.ones((b, 16), bool)}
     key = jax.random.PRNGKey(0)
-    ts, _ = step(ts, batch, key)             # compile
-    jax.block_until_ready(ts.step)
+    ts, metrics = step(ts, batch, key)       # compile
+    np.asarray(metrics["loss"])              # completion barrier
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         ts, metrics = step(ts, batch, key)
-    jax.block_until_ready(ts.step)
+    np.asarray(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
     results["train_step_b8_steps_per_s"] = round(1 / dt, 2)
     results["train_step_b8_imgs_per_s"] = round(b / dt, 1)
@@ -115,7 +130,13 @@ def main():
     if os.path.exists(out_path):
         with open(out_path) as f:
             merged = json.load(f)
+    # drop stale keys from the pre-variant schema
+    merged = {k: v for k, v in merged.items()
+              if not k.startswith("fusion_fwd_")}
     merged.update(results)
+    merged["methodology"] = ("windows end in a D2H fetch; "
+                             "block_until_ready alone can return early "
+                             "through the relay during pending compiles")
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
     print(json.dumps(merged))

@@ -35,7 +35,8 @@ def main():
         print("reference recording unavailable")
         return
 
-    model, params, state = g._build_fusion(416, 200, 32, 512)
+    model, params, state = g._build_fusion(416, 200, 32, 512,
+                                           s2d_stages=(0, 2))
     engine = FusionEngine(model, params, state, frame_size=(640, 480))
 
     # synthetic camera frames (decode is not what's being measured here);
@@ -57,6 +58,14 @@ def main():
     n, report = pipe.run()
     print(f"frames={n} report={report}")
 
+    # batched windows: lossless sustained throughput through the tunnel —
+    # one stacked H2D + one batch-W program + one fetch per window
+    # amortizes the relay's ~40 ms transfer/execute switch serialization
+    pipe_b = StreamingPipeline(engine, rec, load_calib(CALIB),
+                               RadarParams(), mode=0, frames=frames)
+    nb, report_b = pipe_b.run_batched(window=64)
+    print(f"batched frames={nb} report={report_b}")
+
     # capacity: the per-frame step rate with device-resident inputs —
     # the number a real TPU host (which overlaps H2D with exec at line
     # rate) would see from this pipeline. The axon relay serializes any
@@ -71,10 +80,10 @@ def main():
               for _ in range(32)]
     jax.block_until_ready(dev_frames)
     outs = [step(dev_frames[i], *packed[i]) for i in range(32)]
-    jax.block_until_ready(outs[-1][1])
+    np.asarray(outs[-1][1])                 # fetch barrier (relay-safe)
     t0 = time.perf_counter()
     outs = [step(dev_frames[i], *packed[i]) for i in range(32)]
-    jax.block_until_ready(outs[-1][1])
+    np.asarray(outs[-1][1])
     cap_ms = (time.perf_counter() - t0) / 32 * 1e3
     report2 = {"step_ms": round(cap_ms, 2),
                "step_fps": round(1000 / cap_ms, 1),
@@ -88,6 +97,7 @@ def main():
         with open(out_path) as f:
             details = json.load(f)
     details["stream_real_recording_tunnel"] = dict(report, frames=n)
+    details["stream_real_recording_batched"] = dict(report_b, frames=nb)
     details["stream_real_recording_capacity"] = report2
     details["tunnel_note"] = (
         "the axon relay serializes interleaved host-transfers with "

@@ -28,11 +28,15 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 import jax
+import __graft_entry__  # noqa: F401  (persistent compile cache)
 
 from millieye_tpu.data.loader import DataLoader, PaddedCollate
 from millieye_tpu.data.synthetic import SyntheticScenes
@@ -90,7 +94,8 @@ def main(quick=False, out_path="SYNTH_RESULTS.json", ckpt_root="runs/synthetic")
     with jax.default_device(cpu):
         params, state = darknet.init(jax.random.PRNGKey(0))
     tr1 = yolo_trainer(darknet, params, state,
-                       os.path.join(ckpt_root, "stage1"), lr=1e-3)
+                       os.path.join(ckpt_root, "stage1"), lr=1e-3,
+                       log_every=50)
     t0 = time.time()
     ts1 = tr1.fit(image_loader(train_img, batch), e1, jax.random.PRNGKey(10),
                   lambda b: {k: v for k, v in b.items() if k != "paths"})
@@ -114,7 +119,8 @@ def main(quick=False, out_path="SYNTH_RESULTS.json", ckpt_root="runs/synthetic")
         p2, s2 = refine.init(jax.random.PRNGKey(1))
     p2 = dict(p2, darknet=ts1.params)
     s2 = dict(s2, darknet=ts1.state)
-    tr2 = refine_trainer(refine, p2, s2, os.path.join(ckpt_root, "stage2"))
+    tr2 = refine_trainer(refine, p2, s2, os.path.join(ckpt_root, "stage2"),
+                         log_every=50)
     t0 = time.time()
     ts2 = tr2.fit(image_loader(train_img, batch, seed=2), e2,
                   jax.random.PRNGKey(20),
@@ -135,7 +141,8 @@ def main(quick=False, out_path="SYNTH_RESULTS.json", ckpt_root="runs/synthetic")
     p3 = dict(p3, darknet=ts1.params)
     s3 = dict(s3, darknet=ts1.state)
     p3, s3 = transfer_module2_to_fusion(ts2.params, ts2.state, p3, s3)
-    tr3 = fusion_trainer(fusion, p3, s3, os.path.join(ckpt_root, "stage3"))
+    tr3 = fusion_trainer(fusion, p3, s3, os.path.join(ckpt_root, "stage3"),
+                         log_every=50)
     train_radar = SyntheticScenes(n_train, seed=0)
     t0 = time.time()
     ts3 = tr3.fit(radar_loader(train_radar, batch, seed=3), e3,

@@ -28,6 +28,20 @@ from millieye_tpu.ops.nms import nms_xyxy
 from millieye_tpu.ops.boxes import rescale_boxes
 
 
+def _sanitize_radar(points, pmask, radar_boxes, radar_mask):
+    """Make untrusted sensor inputs total (NaN points/boxes masked, coords
+    clamped, empty boxes dropped). Works on any leading batch dims."""
+    points = jnp.asarray(points, jnp.float32)
+    pmask = pmask & jnp.isfinite(points).all(-1)
+    points = jnp.where(jnp.isfinite(points), points, 0.0)
+    rb = jnp.asarray(radar_boxes, jnp.float32)
+    finite_rb = jnp.isfinite(rb).all(-1)
+    rb = jnp.clip(jnp.where(jnp.isfinite(rb), rb, 0.0), 0.0, 1.0)
+    nonempty = (rb[..., 2] > rb[..., 0]) & (rb[..., 3] > rb[..., 1])
+    radar_mask = radar_mask & finite_rb & nonempty
+    return points, pmask, rb, radar_mask
+
+
 class FusionEngine:
     """Owns a FusionNetwork + weights; exposes one jit'd frame step."""
 
@@ -65,15 +79,8 @@ class FusionEngine:
             # total: non-finite radar points/boxes are masked invalid (a
             # NaN depth would otherwise poison its heatmap bin), box
             # coords clamp to the normalized frame and empty boxes drop
-            points = jnp.asarray(points, jnp.float32)
-            pmask = pmask & jnp.isfinite(points).all(-1)
-            points = jnp.where(jnp.isfinite(points), points, 0.0)
-            rb = jnp.asarray(radar_boxes, jnp.float32)
-            finite_rb = jnp.isfinite(rb).all(-1)
-            rb = jnp.clip(jnp.where(jnp.isfinite(rb), rb, 0.0), 0.0, 1.0)
-            nonempty = (rb[:, 2] > rb[:, 0]) & (rb[:, 3] > rb[:, 1])
-            radar_mask = radar_mask & finite_rb & nonempty
-            radar_boxes = rb
+            points, pmask, radar_boxes, radar_mask = _sanitize_radar(
+                points, pmask, radar_boxes, radar_mask)
 
             img, _ = lb.letterbox_image(frame_u8, s)
             heat = radar_heatmap(points, pmask, (w, h))
@@ -97,6 +104,52 @@ class FusionEngine:
         if mode not in self._steps:
             self._steps[mode] = self._build_step(mode)
         return self._steps[mode]
+
+    def _build_batched_step(self, mode):
+        """Window-of-frames step: ingest + forward + post-NMS for W frames
+        in ONE program. Throughput mode for streaming: one H2D transfer
+        and one execution per window amortizes the relay's per-switch
+        serialization (~40 ms) AND runs the network at batch efficiency
+        (b32 is ~2x the per-frame rate of b1 on v5e)."""
+        cfg = self.model.cfg
+        s = self.model.darknet.img_size
+        w, h = self.frame_size
+
+        def step(frames_u8, points, pmask, radar_boxes, radar_mask):
+            points, pmask, radar_boxes, radar_mask = _sanitize_radar(
+                points, pmask, radar_boxes, radar_mask)
+
+            img = jax.vmap(lambda f: lb.letterbox_image(f, s)[0])(frames_u8)
+
+            def one_heat(p, m):
+                heat = radar_heatmap(p, m, (w, h))
+                heat, _ = lb.pad_to_square(heat, 0.0)
+                return lb.resize_bilinear_align_corners(heat, s // 16)
+
+            heat = jax.vmap(one_heat)(points, pmask)
+            out = self.model.apply(self.params, self.state, img, heat,
+                                   radar_boxes, radar_mask, mode=mode)
+            boxes, valid = out["boxes"], out["valid"]
+
+            def post(bx, vd):
+                merged, mvalid = nms_xyxy(
+                    bx[:, :4], bx[:, 4], bx[:, 6].astype(jnp.int32),
+                    vd, self.post_nms_iou, bx.shape[0])
+                cam = rescale_boxes(merged[:, :4], s, (h, w))
+                return jnp.concatenate([cam, merged[:, 4:]], -1), mvalid
+
+            return jax.vmap(post)(boxes, valid)
+
+        return jax.jit(step)
+
+    def batched_step_fn(self, mode=0):
+        if mode == 3:
+            raise ValueError("auto mode is per-frame; batched windows "
+                             "need a static mode (0/1/2)")
+        key = ("batched", mode)
+        if key not in self._steps:
+            self._steps[key] = self._build_batched_step(mode)
+        return self._steps[key]
 
     # ----------------------------------------------------------------- host
     def pack_radar(self, points_uvzv, proposals_xyxy):

@@ -62,7 +62,7 @@ class StreamingPipeline:
         self.dropped = 0
 
     # -------------------------------------------------------------- producer
-    def _produce(self):
+    def _produce(self, device_stage=True, drop_on_full=True):
         p = self.params
         vtimes = load_timestamps(os.path.join(self.rec_dir, "timestamps.txt"))
         rtimes, rframes = load_pointcloud(
@@ -89,16 +89,18 @@ class StreamingPipeline:
                 sel = self.mode
                 if sel == 3:
                     sel = 0 if float(np.mean(frame)) < 0.1 * 255 else 1
-                # start the async H2D here: a host->device conversion in
-                # the consumer's dispatch path stalls the execution
-                # pipeline (~20x on the tunnel); by the time the consumer
-                # dispatches, these transfers are already in flight
-                import jax
-                frame = jax.device_put(np.ascontiguousarray(frame))
-                packed = tuple(jax.device_put(a) for a in packed)
+                if device_stage:
+                    # start the async H2D here: a host->device conversion
+                    # in the consumer's dispatch path stalls the execution
+                    # pipeline (~20x on the tunnel); by the time the
+                    # consumer dispatches, these transfers are in flight
+                    import jax
+                    frame = jax.device_put(np.ascontiguousarray(frame))
+                    packed = tuple(jax.device_put(a) for a in packed)
             item = (idx, frame, packed, sel)
-            # drop-on-full back-pressure (run_mp.py:151-152)
-            if self.q.full():
+            # drop-on-full back-pressure (run_mp.py:151-152); batched
+            # windows instead block (lossless throughput mode)
+            if drop_on_full and self.q.full():
                 try:
                     self.q.get_nowait()
                     self.dropped += 1
@@ -155,5 +157,85 @@ class StreamingPipeline:
             drain_one()
         wall = time.perf_counter() - t_start
         report = dict(self.timer.report(), dropped=self.dropped,
+                      e2e_fps=round(n / wall, 1) if wall else 0.0)
+        return n, report
+
+    # ------------------------------------------------------- batched windows
+    def run_batched(self, window=128, on_result=None, max_frames=None):
+        """Lossless throughput mode: frames accumulate into windows of
+        ``window`` on the host; each window crosses the host<->device
+        boundary ONCE (one stacked H2D put, one batched program, one
+        result fetch). This amortizes the relay's transfer/execute switch
+        serialization AND runs the network at batch-W efficiency — the
+        sustained-rate answer to the per-frame demo's latency mode.
+        Returns (n_frames, report) with dropped always 0.
+        """
+        import time
+        import jax
+
+        if self.mode == 3:
+            raise ValueError("auto mode is per-frame; use run() or pick "
+                             "a static mode for batched windows")
+        step = self.engine.batched_step_fn(self.mode)
+
+        # compile + warm the window graph before timing (fetch barrier:
+        # block_until_ready can return early during pending remote compile)
+        w, h = self.engine.frame_size
+        warm = (np.zeros((window, h, w, 3), np.uint8),
+                np.zeros((window, self.engine.max_points, 4), np.float32),
+                np.zeros((window, self.engine.max_points), bool),
+                np.zeros((window, self.engine.model.cfg.max_radar, 4),
+                         np.float32),
+                np.zeros((window, self.engine.model.cfg.max_radar), bool))
+        np.asarray(step(*jax.tree.map(jax.device_put, warm))[1])
+
+        t = threading.Thread(
+            target=self._produce,
+            kwargs=dict(device_stage=False, drop_on_full=False),
+            daemon=True)
+        n = 0
+        t_start = time.perf_counter()
+        t.start()
+
+        buf = []
+
+        def flush():
+            nonlocal n
+            if not buf:
+                return
+            k = len(buf)
+            idxs = [b[0] for b in buf]
+            frames = np.stack([np.ascontiguousarray(b[1]) for b in buf])
+            packed = [np.stack([b[2][j] for b in buf]) for j in range(4)]
+            if k < window:                     # pad the tail window
+                reps = window - k
+                frames = np.concatenate([frames, np.repeat(
+                    frames[-1:], reps, 0)])
+                packed = [np.concatenate([p, np.repeat(p[-1:], reps, 0)])
+                          for p in packed]
+            with self.timer("device"):
+                dev = [jax.device_put(a) for a in (frames, *packed)]
+                boxes, valid = step(*dev)
+                boxes = np.asarray(boxes)      # fetch barrier
+                valid = np.asarray(valid)
+            if on_result is not None:
+                for i, idx in enumerate(idxs):
+                    on_result(idx, boxes[i], valid[i])
+            n += k
+            buf.clear()
+
+        while True:
+            item = self.q.get()
+            if item is None:
+                break
+            buf.append(item)
+            if len(buf) == window:
+                flush()
+            if max_frames and n + len(buf) >= max_frames:
+                break
+        flush()
+        wall = time.perf_counter() - t_start
+        report = dict(self.timer.report(), dropped=self.dropped,
+                      window=window,
                       e2e_fps=round(n / wall, 1) if wall else 0.0)
         return n, report

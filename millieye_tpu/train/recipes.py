@@ -113,19 +113,21 @@ class Trainer:
                                    state=restored["state"])
 
 
-def yolo_trainer(model, params, state, ckpt_dir, lr=1e-3, every_k=2):
+def yolo_trainer(model, params, state, ckpt_dir, lr=1e-3, every_k=2,
+                 log_every=10):
     tx = frozen_adam(params, lr=lr, every_k=every_k)
     ts = init_train_state(params, state, tx)
     return Trainer(make_yolo_train_step(model, tx), ts, ckpt_dir,
-                   name="yolo")
+                   name="yolo", log_every=log_every)
 
 
-def refine_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2):
+def refine_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2,
+                   log_every=10):
     tx = frozen_adam(params, lr=lr, frozen_prefixes=STAGE2_FROZEN,
                      every_k=every_k)
     ts = init_train_state(params, state, tx)
     return Trainer(make_refine_train_step(model, tx), ts, ckpt_dir,
-                   name="module2")
+                   name="module2", log_every=log_every)
 
 
 def fusion_viz(model, mode=0):
@@ -147,14 +149,14 @@ def fusion_viz(model, mode=0):
 
 
 def fusion_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2,
-                   mode=0, freeze_module2=True, viz=False):
+                   mode=0, freeze_module2=True, viz=False, log_every=10):
     tx = frozen_adam(params, lr=lr,
                      frozen_prefixes=STAGE3_FROZEN if freeze_module2 else
                      (("darknet",),),
                      every_k=every_k)
     ts = init_train_state(params, state, tx)
     return Trainer(make_fusion_train_step(model, tx, mode), ts, ckpt_dir,
-                   name="module3",
+                   name="module3", log_every=log_every,
                    viz_fn=fusion_viz(model, mode) if viz else None)
 
 

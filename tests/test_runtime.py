@@ -119,3 +119,36 @@ def test_engine_auto_mode(engine, rng):
     # yolo-only path has exactly max_det slots; fusion path has K+R
     assert len(b_dark) == len(v_dark)
     assert len(b_bright) == len(v_bright)
+
+
+def test_batched_window_streaming_matches_per_frame(engine, tmp_path):
+    """run_batched: lossless (zero drops), window padding on the tail,
+    and per-frame results consistent with the single-frame engine."""
+    rec = str(tmp_path / "rec")
+    _write_recording(rec, n_frames=5)
+    params = RadarParams(frame_size=FRAME, num_pts_filter=1, min_hits=1,
+                         min_velocity=0.0)
+    pipe = StreamingPipeline(engine, rec, CALIB, params, mode=0)
+    got = {}
+    n, report = pipe.run_batched(
+        window=3, on_result=lambda i, b, v: got.update({i: (b, v)}))
+    assert n == 5 and report["dropped"] == 0
+    assert sorted(got) == [0, 1, 2, 3, 4]
+
+    # same frames through the per-frame path agree
+    pipe2 = StreamingPipeline(engine, rec, CALIB, params, mode=0)
+    ref = {}
+    pipe2.run(on_result=lambda i, b, v: ref.update({i: (b, v)}))
+    for i in ref:
+        np.testing.assert_array_equal(got[i][1], ref[i][1])
+        np.testing.assert_allclose(got[i][0], ref[i][0],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_batched_window_rejects_auto_mode(engine, tmp_path):
+    rec = str(tmp_path / "rec2")
+    _write_recording(rec, n_frames=2)
+    pipe = StreamingPipeline(engine, rec, CALIB, RadarParams(
+        frame_size=FRAME), mode=3)
+    with pytest.raises(ValueError):
+        pipe.run_batched(window=2)
