@@ -138,8 +138,11 @@ def main(quick=False, out_path="SYNTH_RESULTS.json", ckpt_root="runs/synthetic")
     fusion = FusionNetwork(darknet, cfg)
     with jax.default_device(cpu):
         p3, s3 = fusion.init(jax.random.PRNGKey(2))
-    p3 = dict(p3, darknet=ts1.params)
-    s3 = dict(s3, darknet=ts1.state)
+    # seed from ts2 (NOT ts1): Trainer.fit donates the train state, so
+    # stage-2's first step consumed ts1's darknet buffers; the frozen
+    # darknet values are identical in ts2
+    p3 = dict(p3, darknet=ts2.params["darknet"])
+    s3 = dict(s3, darknet=ts2.state["darknet"])
     p3, s3 = transfer_module2_to_fusion(ts2.params, ts2.state, p3, s3)
     tr3 = fusion_trainer(fusion, p3, s3, os.path.join(ckpt_root, "stage3"),
                          log_every=50)

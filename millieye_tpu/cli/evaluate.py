@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--plot", default=None,
                    help="write the global PR curve to this path "
                         "(test_fusion.py plot/pr_*.jpg equivalent)")
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="evaluate on N synthetic scenes (seed 777) "
+                        "instead of a dataset root")
     return p.parse_args(argv)
 
 
@@ -63,16 +66,26 @@ def main(argv=None):
         model, params, state = build_fusion(
             args, conf_thresh=args.conf_thresh, nms_thresh=args.nms_thresh)
         params, state = _load_fusion(model, params, state, args.weights)
-        dataset = RadarFusionDataset(args.data_root, "test",
-                                     tuple(args.illumination),
-                                     args.test_list)
+        if args.synthetic:
+            from millieye_tpu.data.synthetic import SyntheticScenes
+            dataset = SyntheticScenes(args.synthetic, seed=777,
+                                      illumination=tuple(args.illumination))
+        else:
+            dataset = RadarFusionDataset(args.data_root, "test",
+                                         tuple(args.illumination),
+                                         args.test_list)
         loader = DataLoader(dataset, args.batch_size,
                             PaddedCollate(args.img_size))
         result = harness.evaluate_fusion(
             model, params, state, _batches(loader, args.img_size),
             mode=args.model_mode, iou_thresh=args.iou_thresh)
     else:
-        if args.exdark_root:
+        if args.synthetic:
+            from millieye_tpu.data.synthetic import SyntheticScenes
+            dataset = SyntheticScenes(args.synthetic, seed=777,
+                                      illumination=tuple(args.illumination),
+                                      radar=False)
+        elif args.exdark_root:
             dataset = ExDarkDataset(args.exdark_root, "test")
         else:
             dataset = ImageListDataset(args.train_list)

@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--test_list", type=int, default=0,
                    help="stage 3: held-out scene fold (0-4)")
     p.add_argument("--illumination", nargs="+", default=["H", "L"])
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="train on N procedurally-labeled synthetic scenes "
+                        "instead of a dataset root (data.synthetic)")
     p.add_argument("--multiscale", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -73,15 +76,24 @@ def main(argv=None):
         trainer = recipes.fusion_trainer(
             model, params, state, args.checkpoint_dir, lr=args.lr,
             every_k=args.grad_accum)
-        dataset = RadarFusionDataset(args.data_root, "train",
-                                     tuple(args.illumination),
-                                     args.test_list)
+        if args.synthetic:
+            from millieye_tpu.data.synthetic import SyntheticScenes
+            dataset = SyntheticScenes(args.synthetic, seed=args.seed,
+                                      illumination=tuple(args.illumination))
+        else:
+            dataset = RadarFusionDataset(args.data_root, "train",
+                                         tuple(args.illumination),
+                                         args.test_list)
         collate = PaddedCollate(args.img_size, multiscale=args.multiscale)
         loader = DataLoader(dataset, args.batch_size, collate, shuffle=True,
                             seed=args.seed)
         batch_fn = lambda b: recipes.fusion_device_batch(b, args.img_size)
     else:
-        if args.exdark_root:
+        if args.synthetic:
+            from millieye_tpu.data.synthetic import SyntheticScenes
+            dataset = SyntheticScenes(args.synthetic, seed=args.seed,
+                                      radar=False)
+        elif args.exdark_root:
             dataset = ExDarkDataset(args.exdark_root, "train")
         else:
             dataset = ImageListDataset(args.train_list, augment=True)

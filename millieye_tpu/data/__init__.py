@@ -13,3 +13,4 @@ from millieye_tpu.data.datasets import (
     EXDARK_NAMES,
 )
 from millieye_tpu.data.loader import DataLoader, PaddedCollate
+from millieye_tpu.data.synthetic import SyntheticScenes

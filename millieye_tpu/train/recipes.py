@@ -61,7 +61,13 @@ def fusion_device_batch(batch, img_size):
 
 
 class Trainer:
-    """Shared epoch loop: step fn + loader + logging + checkpoints."""
+    """Shared epoch loop: step fn + loader + logging + checkpoints.
+
+    The jit'd step DONATES the train state (buffers are consumed by XLA
+    each step). Consequence for multi-stage recipes: seed the next
+    stage's params from the trainer's RETURNED state (``fit``'s result /
+    ``self.ts``), never from a pre-fit pytree you passed in — those
+    buffers are deleted after the first step."""
 
     def __init__(self, step_fn, train_state, ckpt_dir, logdir=None,
                  log_every=10, name="stage", viz_fn=None, viz_every=50):

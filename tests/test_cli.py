@@ -87,3 +87,13 @@ def test_loader_propagates_worker_errors(tmp_path):
     loader = DataLoader(Broken(), 2, PaddedCollate(64))
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
+
+
+def test_train_cli_synthetic_stage1(tmp_path):
+    """--synthetic N drives stage-1 training end-to-end from the CLI."""
+    from millieye_tpu.cli.train import main
+    main(["--stage", "yolo", "--synthetic", "4", "--epochs", "1",
+          "--batch_size", "2", "--img_size", "128",
+          "--checkpoint_dir", str(tmp_path)])
+    import os
+    assert any(f.endswith(".npz") for f in os.listdir(tmp_path))
