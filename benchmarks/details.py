@@ -94,6 +94,23 @@ def main():
                 results[key] = round(b / dt, 1)
                 print(f"{key}: {results[key]}", flush=True)
 
+    # device latency (scan-amortized): the tunnel's ~1 ms per-program
+    # dispatch floor hides b1 gains in wall-clock fps; K chained
+    # executions inside one program measure what the chip itself does
+    from benchmarks.backbone_profile import bench_scanned
+    for vname, s2d, int8 in VARIANTS:
+        model, params, state = build("float32", s2d, int8)
+        i1, m1, r1, v1 = inputs(1)
+
+        def fused(img, _m=model, _p=params, _s=state, _mm=m1, _r=r1, _v=v1):
+            out = _m.apply(_p, _s, img, _mm, _r, _v, mode=0)
+            # scalar-ish carry dependency comes from boxes
+            return out["boxes"]
+
+        td = bench_scanned(fused, i1, k=20)
+        results[f"fusion_device_latency_{vname}_b1_us"] = round(td * 1e6, 1)
+        print(f"device latency {vname} b1: {td*1e6:.0f}us", flush=True)
+
     # stage-3 train step (frozen subtrees, grad accumulation off for a
     # clean per-step number)
     from millieye_tpu.train import (frozen_adam, STAGE3_FROZEN,

@@ -54,10 +54,21 @@ class PaddedCollate:
 
     def __call__(self, items):
         size = self._roll_size()
+        # preallocate + resize directly into the batch tensor: np.stack
+        # of per-item resize results costs an extra full-batch copy
+        images = np.empty((len(items),) + (size, size) +
+                          items[0]["image"].shape[2:], np.float32)
+        for j, it in enumerate(items):
+            img = it["image"]
+            if img.shape[0] == size and img.shape[1] == size:
+                images[j] = img
+            else:
+                iy = (np.arange(size) * (img.shape[0] / size)).astype(int)
+                ix = (np.arange(size) * (img.shape[1] / size)).astype(int)
+                images[j] = img[np.ix_(iy, ix)]
         batch = {
             "paths": [it["path"] for it in items],
-            "images": np.stack([
-                np_resize_nearest(it["image"], size) for it in items]),
+            "images": images,
         }
         t = [self._pad(it["targets"], self.max_targets, 5) for it in items]
         batch["targets"] = np.stack([x[0] for x in t])
@@ -117,14 +128,34 @@ class DataLoader:
         failure = []
 
         def produce():
-            # worker exceptions propagate to the consumer (the reference's
-            # demo threads swallow all errors, run_mp.py:159-160 — don't)
+            # item fetch fans out over a thread pool (numpy generation /
+            # JPEG decode release the GIL for their heavy ops); collate
+            # stays sequential in batch order so its multiscale rolls and
+            # padding are deterministic. Worker exceptions propagate to
+            # the consumer (the reference's demo threads swallow all
+            # errors, run_mp.py:159-160 — don't).
+            import collections
+            from concurrent.futures import ThreadPoolExecutor
             try:
-                for chunk in batches:
-                    if stop.is_set():
-                        return
-                    items = [self.dataset.get(i) for i in chunk]
-                    out_q.put(self.collate(items))
+                with ThreadPoolExecutor(self.num_workers) as ex:
+                    window = collections.deque()
+                    it = iter(batches)
+
+                    def submit_next():
+                        chunk = next(it, None)
+                        if chunk is not None:
+                            window.append(ex.submit(
+                                lambda c: [self.dataset.get(i) for i in c],
+                                chunk))
+
+                    for _ in range(self.num_workers + self.prefetch):
+                        submit_next()
+                    while window:
+                        if stop.is_set():
+                            return
+                        items = window.popleft().result()
+                        submit_next()
+                        out_q.put(self.collate(items))
             except BaseException as e:          # noqa: BLE001
                 failure.append(e)
             finally:
