@@ -95,7 +95,7 @@ def main(quick=False, out_path="SYNTH_RESULTS.json", ckpt_root="runs/synthetic")
         params, state = darknet.init(jax.random.PRNGKey(0))
     tr1 = yolo_trainer(darknet, params, state,
                        os.path.join(ckpt_root, "stage1"), lr=1e-3,
-                       log_every=50)
+                       log_every=50, grad_clip=10.0)
     t0 = time.time()
     ts1 = tr1.fit(image_loader(train_img, batch), e1, jax.random.PRNGKey(10),
                   lambda b: {k: v for k, v in b.items() if k != "paths"})
@@ -120,7 +120,7 @@ def main(quick=False, out_path="SYNTH_RESULTS.json", ckpt_root="runs/synthetic")
     p2 = dict(p2, darknet=ts1.params)
     s2 = dict(s2, darknet=ts1.state)
     tr2 = refine_trainer(refine, p2, s2, os.path.join(ckpt_root, "stage2"),
-                         log_every=50)
+                         log_every=50, grad_clip=10.0)
     t0 = time.time()
     ts2 = tr2.fit(image_loader(train_img, batch, seed=2), e2,
                   jax.random.PRNGKey(20),
@@ -145,7 +145,7 @@ def main(quick=False, out_path="SYNTH_RESULTS.json", ckpt_root="runs/synthetic")
     s3 = dict(s3, darknet=ts2.state["darknet"])
     p3, s3 = transfer_module2_to_fusion(ts2.params, ts2.state, p3, s3)
     tr3 = fusion_trainer(fusion, p3, s3, os.path.join(ckpt_root, "stage3"),
-                         log_every=50)
+                         log_every=50, grad_clip=10.0)
     train_radar = SyntheticScenes(n_train, seed=0)
     t0 = time.time()
     ts3 = tr3.fit(radar_loader(train_radar, batch, seed=3), e3,

@@ -48,8 +48,13 @@ def yolo_scale_loss(pred, anchors_px, stride, targets, tmask, ignore_thresh=0.5)
     gx = jax.lax.broadcasted_iota(jnp.float32, (g, g), 1)
     bx = pred[..., 0] + gx[None, None]
     by = pred[..., 1] + gy[None, None]
-    bw = jnp.exp(pred[..., 2]) * anchors_grid[None, :, 0, None, None]
-    bh = jnp.exp(pred[..., 3]) * anchors_grid[None, :, 1, None, None]
+    # clamp like the decode path (darknet.decode_yolo): noobj cells' tw/th
+    # are unconstrained by any loss term and can drift past exp overflow,
+    # which turns the assignment IoUs (and metrics) into inf/NaN
+    bw = jnp.exp(jnp.clip(pred[..., 2], -20.0, 20.0)) * (
+        anchors_grid[None, :, 0, None, None])
+    bh = jnp.exp(jnp.clip(pred[..., 3], -20.0, 20.0)) * (
+        anchors_grid[None, :, 1, None, None])
     pred_boxes = jnp.stack([bx, by, bw, bh], axis=-1)
 
     t = build_targets(pred_boxes, pred[..., 5:], targets, tmask,

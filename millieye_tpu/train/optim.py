@@ -63,15 +63,27 @@ def label_tree(params, frozen_prefixes):
 
 
 def frozen_adam(params, lr=5e-4, frozen_prefixes=(), every_k=1,
-                weight_decay=0.0):
+                weight_decay=0.0, grad_clip=None):
     """Adam over the trainable subtree; frozen leaves get zero updates.
 
     lr defaults to the reference stage-3 setting (module3 train.py:163);
     ``every_k=2`` reproduces the gradient-accumulation cadence
     (train.py:188-191).
+
+    ``grad_clip`` (global-norm bound) chains zero_nans -> clip: one
+    exploding/NaN batch skews a step instead of poisoning the parameters
+    for the rest of the run. The reference has no such guard (and no
+    long unattended runs); default off for exact-parity training.
     """
     inner = (optax.adamw(lr, weight_decay=weight_decay)
              if weight_decay else optax.adam(lr))
+    if grad_clip:
+        # zero_nans both sides of the clip: NaN grads zero first; inf
+        # grads become NaN inside the norm scaling (inf * 0), the second
+        # pass zeroes those
+        inner = optax.chain(optax.zero_nans(),
+                            optax.clip_by_global_norm(grad_clip),
+                            optax.zero_nans(), inner)
     if frozen_prefixes:
         labels = label_tree(params, frozen_prefixes)
         tx = optax.multi_transform(

@@ -120,17 +120,17 @@ class Trainer:
 
 
 def yolo_trainer(model, params, state, ckpt_dir, lr=1e-3, every_k=2,
-                 log_every=10):
-    tx = frozen_adam(params, lr=lr, every_k=every_k)
+                 log_every=10, grad_clip=None):
+    tx = frozen_adam(params, lr=lr, every_k=every_k, grad_clip=grad_clip)
     ts = init_train_state(params, state, tx)
     return Trainer(make_yolo_train_step(model, tx), ts, ckpt_dir,
                    name="yolo", log_every=log_every)
 
 
 def refine_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2,
-                   log_every=10):
+                   log_every=10, grad_clip=None):
     tx = frozen_adam(params, lr=lr, frozen_prefixes=STAGE2_FROZEN,
-                     every_k=every_k)
+                     every_k=every_k, grad_clip=grad_clip)
     ts = init_train_state(params, state, tx)
     return Trainer(make_refine_train_step(model, tx), ts, ckpt_dir,
                    name="module2", log_every=log_every)
@@ -155,8 +155,9 @@ def fusion_viz(model, mode=0):
 
 
 def fusion_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2,
-                   mode=0, freeze_module2=True, viz=False, log_every=10):
-    tx = frozen_adam(params, lr=lr,
+                   mode=0, freeze_module2=True, viz=False, log_every=10,
+                   grad_clip=None):
+    tx = frozen_adam(params, lr=lr, grad_clip=grad_clip,
                      frozen_prefixes=STAGE3_FROZEN if freeze_module2 else
                      (("darknet",),),
                      every_k=every_k)

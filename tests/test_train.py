@@ -168,3 +168,22 @@ def test_multiscale_yolo_training(rng):
         ts, metrics = step(ts, batch, None)
         assert np.isfinite(float(metrics["loss"])), size
     assert int(ts.step) == 3
+
+
+def test_grad_clip_survives_nan_and_inf_grads():
+    """One poisoned batch must skew a step, not kill the run: the
+    zero_nans -> clip -> zero_nans chain zeroes NaN/inf gradients and
+    bounds finite spikes (frozen_adam(grad_clip=...))."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from millieye_tpu.train.optim import frozen_adam
+
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    tx = frozen_adam(params, lr=0.1, grad_clip=1.0)
+    opt = tx.init(params)
+    for bad in (jnp.nan, jnp.inf, -jnp.inf, 1e30):
+        grads = {"w": jnp.full((4,), bad), "b": jnp.ones((2,))}
+        updates, opt = tx.update(grads, opt, params)
+        leaves = jax.tree.leaves(updates)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves), bad
