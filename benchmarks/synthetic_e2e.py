@@ -69,7 +69,8 @@ def _map(res):
     return round(summarize(res)[1], 4) if res is not None else 0.0
 
 
-def main(quick=False, out_path="SYNTH_RESULTS.json", ckpt_root="runs/synthetic"):
+def main(quick=False, out_path="SYNTH_RESULTS.json",
+         ckpt_root="runs/synthetic", resume=False):
     n_train = 400 if quick else 2000
     n_test = 120 if quick else 400
     e1, e2, e3 = (2, 1, 1) if quick else (16, 6, 8)
@@ -88,6 +89,14 @@ def main(quick=False, out_path="SYNTH_RESULTS.json", ckpt_root="runs/synthetic")
     test_h = SyntheticScenes(n_test, seed=777, illumination=("H",))
     test_l = SyntheticScenes(n_test, seed=777, illumination=("L",))
 
+    # stage-final checkpoints double as resume points: a crash in stage 3
+    # must not cost the earlier stages (each is tens of minutes on the
+    # tunnel)
+    from millieye_tpu.io.checkpoint import save_checkpoint, load_checkpoint
+
+    def stage_ckpt(name):
+        return os.path.join(ckpt_root, f"{name}_final.npz")
+
     # ---------------------------------------------------------------- stage 1
     print("== stage 1: YOLO from scratch ==", flush=True)
     cpu = jax.local_devices(backend="cpu")[0]
@@ -97,8 +106,19 @@ def main(quick=False, out_path="SYNTH_RESULTS.json", ckpt_root="runs/synthetic")
                        os.path.join(ckpt_root, "stage1"), lr=1e-3,
                        log_every=50, grad_clip=10.0)
     t0 = time.time()
-    ts1 = tr1.fit(image_loader(train_img, batch), e1, jax.random.PRNGKey(10),
-                  lambda b: {k: v for k, v in b.items() if k != "paths"})
+    if resume and os.path.exists(stage_ckpt("stage1")):
+        restored = load_checkpoint(stage_ckpt("stage1"),
+                                   {"params": params, "state": state})
+        ts1 = tr1.ts._replace(params=restored["params"],
+                              state=restored["state"])
+        print("stage1: resumed from", stage_ckpt("stage1"), flush=True)
+    else:
+        ts1 = tr1.fit(image_loader(train_img, batch), e1,
+                      jax.random.PRNGKey(10),
+                      lambda b: {k: v for k, v in b.items()
+                                 if k != "paths"})
+        save_checkpoint(stage_ckpt("stage1"),
+                        {"params": ts1.params, "state": ts1.state})
     steps1 = int(ts1.step)
     report["stage1"] = {"steps": steps1,
                         "train_secs": round(time.time() - t0, 1)}
@@ -122,9 +142,19 @@ def main(quick=False, out_path="SYNTH_RESULTS.json", ckpt_root="runs/synthetic")
     tr2 = refine_trainer(refine, p2, s2, os.path.join(ckpt_root, "stage2"),
                          log_every=50, grad_clip=10.0)
     t0 = time.time()
-    ts2 = tr2.fit(image_loader(train_img, batch, seed=2), e2,
-                  jax.random.PRNGKey(20),
-                  lambda b: {k: v for k, v in b.items() if k != "paths"})
+    if resume and os.path.exists(stage_ckpt("stage2")):
+        tpl = {"params": tr2.ts.params, "state": tr2.ts.state}
+        restored = load_checkpoint(stage_ckpt("stage2"), tpl)
+        ts2 = tr2.ts._replace(params=restored["params"],
+                              state=restored["state"])
+        print("stage2: resumed from", stage_ckpt("stage2"), flush=True)
+    else:
+        ts2 = tr2.fit(image_loader(train_img, batch, seed=2), e2,
+                      jax.random.PRNGKey(20),
+                      lambda b: {k: v for k, v in b.items()
+                                 if k != "paths"})
+        save_checkpoint(stage_ckpt("stage2"),
+                        {"params": ts2.params, "state": ts2.state})
     report["stage2"] = {"steps": int(ts2.step),
                         "train_secs": round(time.time() - t0, 1)}
     for light, ds in (("H", test_h), ("L", test_l)):
@@ -148,9 +178,18 @@ def main(quick=False, out_path="SYNTH_RESULTS.json", ckpt_root="runs/synthetic")
                          log_every=50, grad_clip=10.0)
     train_radar = SyntheticScenes(n_train, seed=0)
     t0 = time.time()
-    ts3 = tr3.fit(radar_loader(train_radar, batch, seed=3), e3,
-                  jax.random.PRNGKey(30),
-                  lambda b: fusion_device_batch(b, IMG))
+    if resume and os.path.exists(stage_ckpt("stage3")):
+        tpl = {"params": tr3.ts.params, "state": tr3.ts.state}
+        restored = load_checkpoint(stage_ckpt("stage3"), tpl)
+        ts3 = tr3.ts._replace(params=restored["params"],
+                              state=restored["state"])
+        print("stage3: resumed from", stage_ckpt("stage3"), flush=True)
+    else:
+        ts3 = tr3.fit(radar_loader(train_radar, batch, seed=3), e3,
+                      jax.random.PRNGKey(30),
+                      lambda b: fusion_device_batch(b, IMG))
+        save_checkpoint(stage_ckpt("stage3"),
+                        {"params": ts3.params, "state": ts3.state})
     report["stage3"] = {"steps": int(ts3.step),
                         "train_secs": round(time.time() - t0, 1)}
 
@@ -182,5 +221,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default="SYNTH_RESULTS.json")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse runs/synthetic/stage*_final.npz from a "
+                         "previous (crashed) run instead of retraining")
     args = ap.parse_args()
-    main(quick=args.quick, out_path=args.out)
+    main(quick=args.quick, out_path=args.out, resume=args.resume)

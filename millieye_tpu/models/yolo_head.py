@@ -21,7 +21,10 @@ _EPS = 1e-12
 
 def _masked_mean(values, mask):
     count = jnp.maximum(mask.sum(), 1.0)
-    return (values * mask).sum() / count
+    # hard-select, don't multiply: values * mask lets a NaN/inf in a
+    # masked-OUT cell poison the sum (NaN*0 = NaN) — and its gradient.
+    # where() zeroes both the value and the grad path of unselected cells.
+    return jnp.where(mask > 0, values, 0.0).sum() / count
 
 
 def _bce(p, t):

@@ -64,6 +64,10 @@ def make_shardmap_fusion_step(model, tx, mesh, mode=0):
         new_bn["darknet"] = ts.state["darknet"]     # frozen-BN discipline
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
+        # finite-guard at the state boundary (see train.steps._apply)
+        from millieye_tpu.train.steps import _keep_finite
+        params = jax.tree.map(_keep_finite, params, ts.params)
+        new_bn = jax.tree.map(_keep_finite, new_bn, ts.state)
         return TrainState(params, new_bn, opt_state, ts.step + 1), metrics
 
     return step

@@ -36,10 +36,29 @@ def init_train_state(params, state, tx):
     return TrainState(params, state, tx.init(params), jnp.zeros((), jnp.int32))
 
 
+def _keep_finite(new, old):
+    return jnp.where(jnp.isfinite(new), new, old)
+
+
 def _apply(tx, ts, grads, new_bn_state):
+    """Optimizer apply with a finite-guard at the state boundary.
+
+    A single poisoned batch must never be able to corrupt the run
+    permanently: any non-finite parameter or BN-statistic element
+    reverts to its previous value (BN running stats are EMAs updated
+    OUTSIDE the optimizer — one inf batch mean would otherwise poison
+    them forever). The number of reverted elements is reported as the
+    ``nonfinite_reverted`` metric so silent recovery is observable.
+    """
     updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
     params = optax.apply_updates(ts.params, updates)
-    return TrainState(params, new_bn_state, opt_state, ts.step + 1)
+    reverted = sum(
+        jnp.size(x) - jnp.isfinite(x).sum()
+        for x in jax.tree.leaves(params) + jax.tree.leaves(new_bn_state))
+    params = jax.tree.map(_keep_finite, params, ts.params)
+    new_bn_state = jax.tree.map(_keep_finite, new_bn_state, ts.state)
+    ts = TrainState(params, new_bn_state, opt_state, ts.step + 1)
+    return ts, reverted
 
 
 def make_yolo_train_step(model, tx):
@@ -61,7 +80,9 @@ def make_yolo_train_step(model, tx):
         metrics = {"loss": loss}
         for i, m in enumerate(per_scale):
             metrics.update({f"scale{i}/{k}": v for k, v in m.items()})
-        return _apply(tx, ts, grads, bn_state), metrics
+        ts, reverted = _apply(tx, ts, grads, bn_state)
+        metrics["nonfinite_reverted"] = reverted
+        return ts, metrics
 
     return step
 
@@ -85,7 +106,9 @@ def make_refine_train_step(model, tx):
         bn_state = dict(bn_state)
         bn_state["darknet"] = ts.state["darknet"]
         metrics = dict(metrics, loss=loss)
-        return _apply(tx, ts, grads, bn_state), metrics
+        ts, reverted = _apply(tx, ts, grads, bn_state)
+        metrics["nonfinite_reverted"] = reverted
+        return ts, metrics
 
     return step
 
@@ -108,6 +131,8 @@ def make_fusion_train_step(model, tx, mode=0):
         bn_state = dict(bn_state)
         bn_state["darknet"] = ts.state["darknet"]
         metrics = dict(metrics, loss=loss)
-        return _apply(tx, ts, grads, bn_state), metrics
+        ts, reverted = _apply(tx, ts, grads, bn_state)
+        metrics["nonfinite_reverted"] = reverted
+        return ts, metrics
 
     return step

@@ -187,3 +187,49 @@ def test_grad_clip_survives_nan_and_inf_grads():
         updates, opt = tx.update(grads, opt, params)
         leaves = jax.tree.leaves(updates)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves), bad
+
+
+def test_train_state_finite_guard():
+    """A batch that poisons the forward (huge values -> NaN loss) must not
+    corrupt params or BN running stats; nonfinite_reverted reports it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from millieye_tpu.models import Darknet, tiny_yolov3_defs
+    from millieye_tpu.train.optim import frozen_adam
+    from millieye_tpu.train.steps import init_train_state, make_yolo_train_step
+
+    S = 64
+    model = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S), img_size=S)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = frozen_adam(params, lr=1e-3, grad_clip=10.0)
+    ts = init_train_state(params, state, tx)
+    step = jax.jit(make_yolo_train_step(model, tx))
+
+    targets = np.zeros((2, 3, 5), np.float32)
+    targets[:, 0] = (0, 0.5, 0.5, 0.3, 0.3)
+    tmask = np.zeros((2, 3), bool)
+    tmask[:, 0] = True
+    poison = {"images": np.full((2, S, S, 3), 1e30, np.float32),
+              "targets": targets, "tmask": tmask}
+    ts, metrics = step(ts, poison, jax.random.PRNGKey(1))
+    for leaf in jax.tree.leaves((ts.params, ts.state)):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # training continues on a sane batch afterwards
+    sane = dict(poison, images=np.random.default_rng(0).uniform(
+        size=(2, S, S, 3)).astype(np.float32))
+    ts, metrics = step(ts, sane, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_masked_mean_ignores_poison_outside_mask():
+    import jax.numpy as jnp
+    import numpy as np
+    from millieye_tpu.models.yolo_head import _masked_mean
+    v = jnp.asarray([1.0, jnp.nan, jnp.inf, 3.0])
+    m = jnp.asarray([1.0, 0.0, 0.0, 1.0])
+    assert float(_masked_mean(v, m)) == 2.0
+    # gradient path of masked-out cells is dead, not NaN
+    import jax
+    g = jax.grad(lambda x: _masked_mean(x, m))(v)
+    assert np.isfinite(np.asarray(g)).all()
