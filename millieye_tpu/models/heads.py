@@ -237,6 +237,23 @@ def ensemble_head_apply(params, refinement_vector, yolo_vector, softmax=True,
 
 
 # --------------------------------------------------------------------- losses
+def _weighted_sum(per, weight):
+    return jnp.where(weight > 0, per * weight, 0.0).sum()
+
+
+def _select_rows(weight, value, neutral):
+    """Replace unsampled rows with a neutral constant BEFORE the
+    differentiable ops. The weights are binary sample masks; per-row
+    NaN/inf OUTSIDE the sample set (e.g. encode_boxes of a padded
+    zero-size roi -> log(0/0)) must not poison the loss — and masking
+    only the OUTPUT is not enough, because backprop multiplies the
+    upstream zero by a NaN local derivative (0 * NaN = NaN)."""
+    sel = weight > 0
+    while sel.ndim < value.ndim:
+        sel = sel[..., None]
+    return jnp.where(sel, value, neutral)
+
+
 def focal_loss(inputs, labels, weight, alpha=0.75, gamma=2.0):
     """Binary focal loss, sum reduction (my_models.py:287-314).
 
@@ -244,20 +261,25 @@ def focal_loss(inputs, labels, weight, alpha=0.75, gamma=2.0):
     balanced sample set (replaces the reference's boolean indexing).
     """
     a = jnp.where(labels[:, 1] == 1, alpha, 1.0 - alpha)
+    inputs = _select_rows(weight, inputs, 0.5)
     probs = jnp.clip((inputs * labels).sum(-1), 1e-12, 1.0)
     per = -a * (1.0 - probs) ** gamma * jnp.log(probs)
-    return (per * weight).sum()
+    return _weighted_sum(per, weight)
 
 
 def bce_sum(p, t, weight):
+    p = _select_rows(weight, p, 0.5)
+    t = _select_rows(weight, t, 0.5)
     p = jnp.clip(p, 1e-12, 1.0 - 1e-12)
     per = -(t * jnp.log(p) + (1 - t) * jnp.log(1 - p))
     if per.ndim > weight.ndim:
         per = per.sum(-1)
-    return (per * weight).sum()
+    return _weighted_sum(per, weight)
 
 
 def smooth_l1_sum(pred, target, weight):
+    target = _select_rows(weight, target, 0.0)
+    pred = _select_rows(weight, pred, 0.0)
     d = jnp.abs(pred - target)
     per = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5).sum(-1)
-    return (per * weight).sum()
+    return _weighted_sum(per, weight)

@@ -27,6 +27,15 @@ def _masked_mean(values, mask):
     return jnp.where(mask > 0, values, 0.0).sum() / count
 
 
+def _sel(mask, values, neutral):
+    """Replace masked-out cells with a neutral constant BEFORE the
+    differentiable ops: masking only the summed output is not enough,
+    because backprop multiplies the upstream zero by the local
+    derivative, and 0 * NaN = NaN (a saturated/poisoned prediction in an
+    unassigned cell would otherwise NaN the whole gradient)."""
+    return jnp.where(mask > 0, values, neutral)
+
+
 def _bce(p, t):
     p = jnp.clip(p, _EPS, 1.0 - _EPS)
     return -(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
@@ -64,16 +73,19 @@ def yolo_scale_loss(pred, anchors_px, stride, targets, tmask, ignore_thresh=0.5)
                       anchors_grid, ignore_thresh)
     obj, noobj = t["obj_mask"], t["noobj_mask"]
 
-    loss_x = _masked_mean((pred[..., 0] - t["tx"]) ** 2, obj)
-    loss_y = _masked_mean((pred[..., 1] - t["ty"]) ** 2, obj)
-    loss_w = _masked_mean((pred[..., 2] - t["tw"]) ** 2, obj)
-    loss_h = _masked_mean((pred[..., 3] - t["th"]) ** 2, obj)
+    loss_x = _masked_mean((_sel(obj, pred[..., 0], 0.0) - t["tx"]) ** 2, obj)
+    loss_y = _masked_mean((_sel(obj, pred[..., 1], 0.0) - t["ty"]) ** 2, obj)
+    loss_w = _masked_mean((_sel(obj, pred[..., 2], 0.0) - t["tw"]) ** 2, obj)
+    loss_h = _masked_mean((_sel(obj, pred[..., 3], 0.0) - t["th"]) ** 2, obj)
     conf = pred[..., 4]
-    loss_conf_obj = _masked_mean(_bce(conf, t["tconf"]), obj)
-    loss_conf_noobj = _masked_mean(_bce(conf, t["tconf"]), noobj)
+    loss_conf_obj = _masked_mean(
+        _bce(_sel(obj, conf, 0.5), t["tconf"]), obj)
+    loss_conf_noobj = _masked_mean(
+        _bce(_sel(noobj, conf, 0.5), t["tconf"]), noobj)
     loss_conf = OBJ_SCALE * loss_conf_obj + NOOBJ_SCALE * loss_conf_noobj
     loss_cls = _masked_mean(
-        _bce(pred[..., 5:], t["tcls"]).mean(-1), obj
+        _bce(_sel(obj[..., None], pred[..., 5:], 0.5), t["tcls"]).mean(-1),
+        obj
     )
     total = loss_x + loss_y + loss_w + loss_h + loss_conf + loss_cls
 

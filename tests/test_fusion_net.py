@@ -130,3 +130,31 @@ def test_refine_network_module2(rng):
     tr = model.apply(params, state, images, train=True, targets=targets,
                      tmask=tmask, rng=jax.random.PRNGKey(3))
     assert np.isfinite(float(tr["loss"]))
+
+
+def test_weighted_loss_helpers_ignore_unsampled_poison():
+    """Padded rows (e.g. encode_boxes of zero-size rois -> NaN) must not
+    poison the sampled losses, in value or gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from millieye_tpu.models.heads import (focal_loss, bce_sum,
+                                           smooth_l1_sum)
+
+    w = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    # smooth_l1 with NaN/inf targets outside the sample set
+    pred = jnp.zeros((4, 4))
+    tgt = jnp.asarray([[0.1] * 4, [jnp.nan] * 4, [0.2] * 4, [jnp.inf] * 4])
+    v = smooth_l1_sum(pred, tgt, w)
+    assert np.isfinite(float(v))
+    g = jax.grad(lambda x: smooth_l1_sum(x, tgt, w))(pred)
+    assert np.isfinite(np.asarray(g)).all()
+
+    p = jnp.asarray([0.5, jnp.nan, 0.7, 0.2])
+    t = jnp.asarray([1.0, 1.0, 0.0, 1.0])
+    assert np.isfinite(float(bce_sum(p, t, w)))
+
+    inputs = jnp.asarray([[0.3, 0.7], [jnp.nan, jnp.nan],
+                          [0.6, 0.4], [0.1, 0.9]])
+    labels = jnp.asarray([[0.0, 1.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    assert np.isfinite(float(focal_loss(inputs, labels, w)))

@@ -233,3 +233,39 @@ def test_masked_mean_ignores_poison_outside_mask():
     import jax
     g = jax.grad(lambda x: _masked_mean(x, m))(v)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_yolo_loss_gradient_survives_poisoned_unassigned_cells():
+    """NaN predictions in cells outside obj/noobj masks must not NaN the
+    loss gradient (0 * NaN backward trap)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from millieye_tpu.models.yolo_head import yolo_scale_loss
+
+    B, A, G, C = 1, 3, 4, 2
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(0.1, 0.9, (B, A, G, G, 5 + C)).astype(np.float32)
+    targets = np.zeros((B, 1, 5), np.float32)
+    targets[0, 0] = (0, 0.52, 0.52, 0.4, 0.4)
+    tmask = np.ones((B, 1), bool)
+    anchors = np.array([[10.0, 10.0], [20.0, 20.0], [30.0, 30.0]])
+
+    def loss_of(p):
+        return yolo_scale_loss(p, anchors, 64.0 / G, jnp.asarray(targets),
+                               jnp.asarray(tmask))[0]
+
+    # poison a far-away cell that no target assigns and no noobj BCE needs
+    # to survive: x/y/w/h/cls channels NaN there
+    pred_bad = pred.copy()
+    pred_bad[0, 0, 0, 0, :4] = np.nan
+    pred_bad[0, 0, 0, 0, 5:] = np.nan
+    g = jax.grad(loss_of)(jnp.asarray(pred_bad))
+    finite = np.isfinite(np.asarray(g))
+    # gradients at all non-poisoned cells stay finite
+    mask = np.ones_like(finite, bool)
+    mask[0, 0, 0, 0] = False
+    assert finite[mask].all()
+    assert np.isfinite(float(loss_of(jnp.asarray(pred_bad)))) or True
+    v = loss_of(jnp.asarray(pred_bad))
+    assert np.isfinite(float(v))
