@@ -1,0 +1,106 @@
+"""Accuracy of the serving optimizations on the TRAINED synthetic model.
+
+Loads the stage-3 checkpoint produced by benchmarks/synthetic_e2e.py and
+evaluates mode-0 fusion mAP@0.5 (dark + bright test splits) across the
+serving variants:
+
+    f32            plain folded-BN backbone (the parity config)
+    s2d            space-to-depth stem (exact transform; mAP must match)
+    s2d_int8       + int8 weights (per-out-channel PTQ; quantifies the
+                   accuracy cost of the 4x weight-traffic saving)
+    bf16_s2d       bf16 backbone + s2d (the throughput serving config)
+
+Appends a ``serving_accuracy`` block to SYNTH_RESULTS.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import __graft_entry__  # noqa: F401  (persistent compile cache)
+
+from millieye_tpu.data.loader import PaddedCollate
+from millieye_tpu.data.device_cache import DeviceCache
+from millieye_tpu.data.synthetic import SyntheticScenes
+from millieye_tpu.eval.harness import evaluate_fusion, summarize
+from millieye_tpu.io.checkpoint import load_checkpoint
+from millieye_tpu.models import Darknet, tiny_yolov3_defs
+from millieye_tpu.models.fusion import FusionConfig, FusionNetwork
+from millieye_tpu.ops.quantize import quantize_darknet
+from millieye_tpu.train.recipes import fusion_device_batch
+
+IMG = 416
+
+
+def _cache(ds):
+    # device-resident test split: one H2D put per split, per-batch host
+    # traffic is an index vector (the relay retains every H2D payload —
+    # see data/device_cache.py)
+    return DeviceCache.build(ds, PaddedCollate(img_size=IMG, max_targets=8,
+                                               max_radar=16, max_points=128))
+
+
+def main(ckpt="runs/synthetic/stage3_final.npz",
+         out_path="SYNTH_RESULTS.json", n_test=400):
+    cfg = FusionConfig(conf_thresh=0.05, pre_nms_top_k=512, max_det=64,
+                       max_radar=16)
+    base_dn = Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                      img_size=IMG)
+    base = FusionNetwork(base_dn, cfg)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params, state = base.init(jax.random.PRNGKey(0))
+        restored = load_checkpoint(ckpt, {"params": params, "state": state})
+        params, state = restored["params"], restored["state"]
+        fp, fs = base_dn.fold_batchnorm(params["darknet"], state["darknet"])
+
+    s2d_dn = Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                     img_size=IMG, s2d_stages=(0, 2))
+    with jax.default_device(cpu):
+        fp_s2d = s2d_dn.fold_s2d(fp)
+        fp_int8 = quantize_darknet(fp_s2d)
+
+    variants = {
+        "f32": (base, dict(params, darknet=fp), "float32"),
+        "s2d": (FusionNetwork(s2d_dn, cfg),
+                dict(params, darknet=fp_s2d), "float32"),
+        "s2d_int8": (FusionNetwork(s2d_dn, cfg),
+                     dict(params, darknet=fp_int8), "float32"),
+        "bf16_s2d": (FusionNetwork(
+            s2d_dn, FusionConfig(conf_thresh=0.05, pre_nms_top_k=512,
+                                 max_det=64, max_radar=16,
+                                 compute_dtype="bfloat16")),
+            dict(params, darknet=fp_s2d), "bfloat16"),
+    }
+    folded_state = dict(state, darknet=fs)
+
+    results = {}
+    for light in ("L", "H"):
+        cache = _cache(SyntheticScenes(n_test, seed=777,
+                                       illumination=(light,)))
+        for name, (model, p, _dt) in variants.items():
+            batches = (fusion_device_batch(b, IMG)
+                       for b in cache.loader(16))
+            res = evaluate_fusion(model, p, folded_state, batches, mode=0)
+            m = round(summarize(res)[1], 4) if res else 0.0
+            results[f"map50_{name}_{light}"] = m
+            print(f"{name} {light}: mAP@0.5 = {m}", flush=True)
+
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged["serving_accuracy"] = results
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

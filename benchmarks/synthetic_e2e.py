@@ -38,7 +38,8 @@ import numpy as np
 import jax
 import __graft_entry__  # noqa: F401  (persistent compile cache)
 
-from millieye_tpu.data.loader import DataLoader, PaddedCollate
+from millieye_tpu.data.loader import PaddedCollate
+from millieye_tpu.data.device_cache import DeviceCache
 from millieye_tpu.data.synthetic import SyntheticScenes
 from millieye_tpu.eval.harness import (evaluate_yolo, evaluate_refine,
                                        evaluate_fusion, summarize)
@@ -51,18 +52,19 @@ from millieye_tpu.train.recipes import (yolo_trainer, refine_trainer,
 
 IMG = 416
 
+# The whole padded dataset lives on device (data/device_cache.py): the
+# axon relay both serializes per-step H2D with executions (~40 ms/switch)
+# and RETAINS every H2D payload client-side — a 33 MB image batch per
+# step OOM-killed the first epoch-scale run after ~3.7k steps. With the
+# cache, per-step host traffic is a ~100-byte index vector.
 
-def image_loader(ds, batch, shuffle=True, seed=0):
-    return DataLoader(ds, batch, PaddedCollate(img_size=IMG, max_targets=8),
-                      shuffle=shuffle, seed=seed, drop_last=True)
+
+def radar_cache(ds):
+    return DeviceCache.build(ds, PaddedCollate(
+        img_size=IMG, max_targets=8, max_radar=16, max_points=128))
 
 
-def radar_loader(ds, batch, shuffle=True, seed=0):
-    return DataLoader(
-        ds, batch,
-        PaddedCollate(img_size=IMG, max_targets=8, max_radar=16,
-                      max_points=128),
-        shuffle=shuffle, seed=seed, drop_last=True)
+IMG_KEYS = ("images", "targets", "tmask")
 
 
 def _map(res):
@@ -85,9 +87,15 @@ def main(quick=False, out_path="SYNTH_RESULTS.json",
     darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
                       img_size=IMG)
 
-    train_img = SyntheticScenes(n_train, seed=0, radar=False)
-    test_h = SyntheticScenes(n_test, seed=777, illumination=("H",))
-    test_l = SyntheticScenes(n_test, seed=777, illumination=("L",))
+    # one train cache serves all three stages (the radar variant's images
+    # are bit-identical to radar=False: radar rng draws happen after the
+    # image is finished); one cache per test split serves every eval
+    print("building device caches...", flush=True)
+    train_cache = radar_cache(SyntheticScenes(n_train, seed=0))
+    test_cache = {
+        light: radar_cache(
+            SyntheticScenes(n_test, seed=777, illumination=(light,)))
+        for light in ("H", "L")}
 
     # stage-final checkpoints double as resume points: a crash in stage 3
     # must not cost the earlier stages (each is tens of minutes on the
@@ -113,18 +121,17 @@ def main(quick=False, out_path="SYNTH_RESULTS.json",
                               state=restored["state"])
         print("stage1: resumed from", stage_ckpt("stage1"), flush=True)
     else:
-        ts1 = tr1.fit(image_loader(train_img, batch), e1,
+        ts1 = tr1.fit(train_cache.loader(batch, shuffle=True, seed=0), e1,
                       jax.random.PRNGKey(10),
-                      lambda b: {k: v for k, v in b.items()
-                                 if k != "paths"})
+                      lambda b: {k: b[k] for k in IMG_KEYS})
         save_checkpoint(stage_ckpt("stage1"),
                         {"params": ts1.params, "state": ts1.state})
     steps1 = int(ts1.step)
     report["stage1"] = {"steps": steps1,
                         "train_secs": round(time.time() - t0, 1)}
-    for light, ds in (("H", test_h), ("L", test_l)):
+    for light in ("H", "L"):
         res = evaluate_yolo(darknet, ts1.params, ts1.state,
-                            image_loader(ds, batch, shuffle=False),
+                            test_cache[light].loader(batch),
                             conf_thresh=cfg.conf_thresh)
         report["stage1"][f"yolo_map50_{light}"] = _map(res)
     print("stage1:", report["stage1"], flush=True)
@@ -149,17 +156,16 @@ def main(quick=False, out_path="SYNTH_RESULTS.json",
                               state=restored["state"])
         print("stage2: resumed from", stage_ckpt("stage2"), flush=True)
     else:
-        ts2 = tr2.fit(image_loader(train_img, batch, seed=2), e2,
+        ts2 = tr2.fit(train_cache.loader(batch, shuffle=True, seed=2), e2,
                       jax.random.PRNGKey(20),
-                      lambda b: {k: v for k, v in b.items()
-                                 if k != "paths"})
+                      lambda b: {k: b[k] for k in IMG_KEYS})
         save_checkpoint(stage_ckpt("stage2"),
                         {"params": ts2.params, "state": ts2.state})
     report["stage2"] = {"steps": int(ts2.step),
                         "train_secs": round(time.time() - t0, 1)}
-    for light, ds in (("H", test_h), ("L", test_l)):
+    for light in ("H", "L"):
         res = evaluate_refine(refine, ts2.params, ts2.state,
-                              image_loader(ds, batch, shuffle=False))
+                              test_cache[light].loader(batch))
         report["stage2"][f"refine_map50_{light}"] = _map(res)
     print("stage2:", report["stage2"], flush=True)
 
@@ -176,7 +182,6 @@ def main(quick=False, out_path="SYNTH_RESULTS.json",
     p3, s3 = transfer_module2_to_fusion(ts2.params, ts2.state, p3, s3)
     tr3 = fusion_trainer(fusion, p3, s3, os.path.join(ckpt_root, "stage3"),
                          log_every=50, grad_clip=10.0)
-    train_radar = SyntheticScenes(n_train, seed=0)
     t0 = time.time()
     if resume and os.path.exists(stage_ckpt("stage3")):
         tpl = {"params": tr3.ts.params, "state": tr3.ts.state}
@@ -185,7 +190,7 @@ def main(quick=False, out_path="SYNTH_RESULTS.json",
                               state=restored["state"])
         print("stage3: resumed from", stage_ckpt("stage3"), flush=True)
     else:
-        ts3 = tr3.fit(radar_loader(train_radar, batch, seed=3), e3,
+        ts3 = tr3.fit(train_cache.loader(batch, shuffle=True, seed=3), e3,
                       jax.random.PRNGKey(30),
                       lambda b: fusion_device_batch(b, IMG))
         save_checkpoint(stage_ckpt("stage3"),
@@ -193,10 +198,10 @@ def main(quick=False, out_path="SYNTH_RESULTS.json",
     report["stage3"] = {"steps": int(ts3.step),
                         "train_secs": round(time.time() - t0, 1)}
 
-    for light, ds in (("H", test_h), ("L", test_l)):
+    for light in ("H", "L"):
         for mode, name in ((1, "yolo"), (0, "millieye"), (3, "auto")):
             batches = (fusion_device_batch(b, IMG) for b in
-                       radar_loader(ds, batch, shuffle=False))
+                       test_cache[light].loader(batch))
             res = evaluate_fusion(fusion, ts3.params, ts3.state, batches,
                                   mode=mode)
             report["stage3"][f"map50_{name}_{light}"] = _map(res)

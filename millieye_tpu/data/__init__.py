@@ -13,4 +13,5 @@ from millieye_tpu.data.datasets import (
     EXDARK_NAMES,
 )
 from millieye_tpu.data.loader import DataLoader, PaddedCollate
+from millieye_tpu.data.device_cache import DeviceCache
 from millieye_tpu.data.synthetic import SyntheticScenes
