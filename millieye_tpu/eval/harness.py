@@ -63,10 +63,15 @@ def _finish(stats, all_target_cls):
 
 def evaluate_yolo(darknet, params, state, batches, conf_thresh=0.5,
                   nms_thresh=0.5, iou_thresh=0.5, max_det=200):
-    """Stage-1: backbone + decode + NMS only (test_mixed.py path)."""
+    """Stage-1: backbone + decode + NMS only (test_mixed.py path).
+
+    params/state are jit ARGUMENTS, not closure constants: closure
+    capture bakes the weights into the HLO, so every checkpoint/variant
+    evaluated forces a fresh remote compile (minutes through the axon
+    tunnel) instead of a persistent-cache hit."""
 
     @jax.jit
-    def step(images):
+    def step(params, state, images):
         out = darknet.apply(params, state, images)
         det, valid = batched_nms(out["detections"], conf_thresh, nms_thresh,
                                  max_det=max_det)
@@ -75,7 +80,7 @@ def evaluate_yolo(darknet, params, state, batches, conf_thresh=0.5,
     stats, target_cls = [], []
     for batch in batches:
         images = jnp.asarray(batch["images"])
-        det, valid = step(images)
+        det, valid = step(params, state, images)
         targets = _targets_to_eval(batch["targets"], batch["tmask"],
                                    images.shape[1])
         target_cls.extend(targets[:, 1].tolist())
@@ -88,14 +93,14 @@ def evaluate_refine(model, params, state, batches, iou_thresh=0.5):
     """Stage-2: YOLO + refinement + ensemble (test_module2.py path)."""
 
     @jax.jit
-    def step(images):
+    def step(params, state, images):
         out = model.apply(params, state, images)
         return out["boxes"], out["valid"]
 
     stats, target_cls = [], []
     for batch in batches:
         images = jnp.asarray(batch["images"])
-        boxes, valid = step(images)
+        boxes, valid = step(params, state, images)
         targets = _targets_to_eval(batch["targets"], batch["tmask"],
                                    images.shape[1])
         target_cls.extend(targets[:, 1].tolist())
@@ -129,8 +134,8 @@ def evaluate_fusion(model, params, state, batches, mode=0, iou_thresh=0.5,
         x = jnp.asarray(x)
         return jax.device_put(x, b_sh) if mesh is not None else x
 
-    @functools.partial(jax.jit, static_argnums=(4,))
-    def step(images, maps, rb, rmask, m):
+    @functools.partial(jax.jit, static_argnums=(6,))
+    def step(params, state, images, maps, rb, rmask, m):
         out = model.apply(params, state, images, maps, rb, rmask, mode=m)
         return out["boxes"], out["valid"]
 
@@ -138,7 +143,8 @@ def evaluate_fusion(model, params, state, batches, mode=0, iou_thresh=0.5,
     for batch in batches:
         images = put(batch["images"])
         m = auto_mode(images) if mode == 3 else mode
-        boxes, valid = step(images, put(batch["radar_maps"]),
+        boxes, valid = step(params, state, images,
+                            put(batch["radar_maps"]),
                             put(batch["radar_boxes"]),
                             put(batch["rmask"]), m)
         targets = _targets_to_eval(batch["targets"], batch["tmask"],
