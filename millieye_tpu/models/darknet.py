@@ -280,6 +280,7 @@ class Darknet:
         images,
         train=False,
         compute_dtype=jnp.float32,
+        collect_act_stats=False,
     ):
         """Run the graph.
 
@@ -289,12 +290,15 @@ class Darknet:
           preds        list of [N, A, G, G, 5+C] per YOLO scale (live grads,
                        for the training loss)
           state        updated BN running stats (train=True only)
+          act_absmax   [n_blocks] conv-input absmax (collect_act_stats=True;
+                       calibration input for int8-activation serving)
         """
         img_dim = images.shape[1]
         outputs = []
         feature_map = None
         dets, preds = [], []
         new_state = list(state)
+        act_absmax = [jnp.zeros(()) for _ in self._plan]
 
         def _weight(p, key):
             # int8 weight slots dequantize in-graph: the conv's HBM read
@@ -305,13 +309,35 @@ class Darknet:
             q = p["q" if key == "w" else "q2"]
             return q.astype(compute_dtype) * p["scale"].astype(compute_dtype)
 
+        def _conv_maybe_int8(i, p, z, key, stride, pad):
+            # int8 ACTIVATION path ("xs" slot from calibrate_act_scales):
+            # the input quantizes on the VPU (fuses into the producer's
+            # epilogue), the conv runs int8 x int8 -> int32 on the MXU
+            # (2x bf16 peak on v5e) with the int8 weight read straight
+            # from HBM; dequant by xs * per-channel weight scale fuses
+            # into the bias/activation epilogue.
+            if collect_act_stats:
+                act_absmax[i] = jnp.max(jnp.abs(z)).astype(jnp.float32)
+            qk = "q" if key == "w" else "q2"
+            if qk in p and "xs" in p:
+                zq = jnp.clip(jnp.round(z / p["xs"]), -127, 127).astype(
+                    jnp.int8)
+                y = lax.conv_general_dilated(
+                    zq, p[qk], window_strides=(stride, stride),
+                    padding=[(pad, pad), (pad, pad)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                sc = (p["xs"] * p["scale"]).astype(compute_dtype)
+                return y.astype(compute_dtype) * sc.reshape(1, 1, 1, -1)
+            return _conv2d(z, _weight(p, key), stride, pad, compute_dtype)
+
         for i, info in enumerate(self._plan):
             t = info["type"]
             p = params[i]
             if t == "convolutional" and ("w2" in p or "q2" in p):
                 # space-to-depth-fused conv+pool stage (see s2d_conv_weight)
                 z = space_to_depth(outputs[-1] if outputs else images)
-                x = _conv2d(z, _weight(p, "w2"), 1, 1, compute_dtype)
+                x = _conv_maybe_int8(i, p, z, "w2", 1, 1)
                 n_, h_, w_, _ = x.shape
                 x = x.reshape(n_, h_, w_, 4, info["filters"]).max(3)
                 x = x + p["b"]
@@ -319,9 +345,9 @@ class Darknet:
                     x = jnp.where(x > 0, x, 0.1 * x)
             elif t == "convolutional":
                 pad = (info["size"] - 1) // 2
-                x = _conv2d(outputs[-1] if outputs else images,
-                            _weight(p, "w"), info["stride"], pad,
-                            compute_dtype)
+                x = _conv_maybe_int8(i, p,
+                                     outputs[-1] if outputs else images,
+                                     "w", info["stride"], pad)
                 if "gamma" in p:  # BN not folded away
                     if train:
                         mean = jnp.mean(x, axis=(0, 1, 2))
@@ -374,6 +400,8 @@ class Darknet:
                            if dets else outputs[-1]),
             "preds": preds,
         }
+        if collect_act_stats:
+            out["act_absmax"] = jnp.stack(act_absmax)
         if train:
             out["state"] = new_state
         return out
@@ -422,6 +450,15 @@ class Darknet:
                 raise ValueError("fold_batchnorm must run before fold_s2d")
             out[i] = {"w2": s2d_conv_weight(p["w"]), "b": p["b"]}
         return out
+
+    @property
+    def act_int8_skip(self):
+        """Conv blocks to keep in float activations under int8 serving:
+        the linear-activation YOLO head convs, whose raw outputs feed the
+        exp/sigmoid decode (quantization error there moves boxes)."""
+        return tuple(i for i, info in enumerate(self._plan)
+                     if info["type"] == "convolutional"
+                     and info["act"] != "leaky")
 
     @property
     def anchors_per_scale(self):

@@ -76,6 +76,12 @@ class FusionConfig:
     weights_int8: bool = False           # serving: backbone conv weights
                                          # stored int8 (per-out-channel
                                          # scales), dequant fused in-graph
+    acts_int8: bool = False              # serving: conv activations also
+                                         # int8 (per-conv calibrated
+                                         # scales) -> int8 MXU convs;
+                                         # needs weights_int8 + an
+                                         # act_absmax calibration
+                                         # (ops.quantize.calibrate_act_scales)
 
 
 class FusionNetwork:

@@ -29,4 +29,5 @@ from millieye_tpu.ops.quantize import (
     dequantize,
     quantize_darknet,
     dequantize_darknet,
+    calibrate_act_scales,
 )

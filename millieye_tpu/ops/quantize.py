@@ -84,25 +84,61 @@ def quantize_int8_stochastic(w2d, seed, interpret=False, row_tile=512):
     return vals[:m].astype(jnp.int8), scale
 
 
-def quantize_darknet(folded_params, axis=-1):
+def quantize_darknet(folded_params, axis=-1, act_absmax=None, act_skip=()):
     """Post-training weight-only int8 for a BN-folded darknet: conv
     weights [k, k, cin, cout] quantized per output channel; biases stay
     float. Handles both plain ("w") and space-to-depth-fused ("w2")
     slots. Returns a pytree of {"q"/"q2", "scale", "b"} / passthrough
     dicts consumable by ``dequantize_darknet`` or directly by
     ``Darknet.apply`` (in-graph dequant: the conv's HBM weight read is
-    int8, the cast fuses into the consumer)."""
+    int8, the cast fuses into the consumer).
+
+    ``act_absmax`` (from ``calibrate_act_scales``) additionally stores a
+    per-conv input scale ``xs`` = absmax/127: ``Darknet.apply`` then runs
+    those convs as int8 x int8 -> int32 on the MXU (2x bf16 peak on
+    v5e). ``act_skip`` lists block indices to keep in float activations
+    (default choice: the YOLO head convs — linear-activation outputs
+    feed the exp/sigmoid decode, where quantization error hurts most;
+    see ``Darknet.act_int8_skip``)."""
     out = []
-    for p in folded_params:
+    for i, p in enumerate(folded_params):
         if "w" in p and p["w"].ndim == 4:
             q, scale = quantize_int8(p["w"], axis=axis)
-            out.append({"q": q, "scale": scale, "b": p.get("b")})
+            d = {"q": q, "scale": scale, "b": p.get("b")}
         elif "w2" in p and p["w2"].ndim == 4:
             q, scale = quantize_int8(p["w2"], axis=axis)
-            out.append({"q2": q, "scale": scale, "b": p.get("b")})
+            d = {"q2": q, "scale": scale, "b": p.get("b")}
         else:
             out.append(p)
+            continue
+        if act_absmax is not None and i not in act_skip:
+            d["xs"] = jnp.maximum(
+                jnp.asarray(act_absmax[i], jnp.float32), 1e-8) / 127.0
+        out.append(d)
     return out
+
+
+def calibrate_act_scales(darknet, folded_params, folded_state, batches,
+                         compute_dtype=jnp.float32):
+    """Per-conv input absmax over calibration batches -> array aligned
+    with the block plan (feed to ``quantize_darknet(act_absmax=...)``).
+
+    Run on the SAME graph shape that will serve (fold_s2d first if the
+    serving config uses s2d stages)."""
+    import numpy as np
+
+    @jax.jit
+    def stats(images):
+        out = darknet.apply(folded_params, folded_state, images,
+                            compute_dtype=compute_dtype,
+                            collect_act_stats=True)
+        return out["act_absmax"]
+
+    mx = None
+    for images in batches:
+        s = np.asarray(stats(images))
+        mx = s if mx is None else np.maximum(mx, s)
+    return mx
 
 
 def dequantize_darknet(qparams, dtype=jnp.float32):

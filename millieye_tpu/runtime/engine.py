@@ -46,7 +46,8 @@ class FusionEngine:
     """Owns a FusionNetwork + weights; exposes one jit'd frame step."""
 
     def __init__(self, model, params, state, frame_size=(640, 480),
-                 max_points=256, post_nms_iou=0.3, fold_bn=True):
+                 max_points=256, post_nms_iou=0.3, fold_bn=True,
+                 act_absmax=None):
         self.model = model
         if fold_bn:
             cast = (jnp.dtype(model.cfg.compute_dtype)
@@ -58,7 +59,16 @@ class FusionEngine:
                 fp = model.darknet.fold_s2d(fp)
             if model.cfg.weights_int8:
                 from millieye_tpu.ops.quantize import quantize_darknet
-                fp = quantize_darknet(fp)
+                kw = {}
+                if model.cfg.acts_int8:
+                    if act_absmax is None:
+                        raise ValueError(
+                            "acts_int8 serving needs act_absmax from "
+                            "ops.quantize.calibrate_act_scales (run on the "
+                            "folded/s2d graph over representative frames)")
+                    kw = dict(act_absmax=act_absmax,
+                              act_skip=model.darknet.act_int8_skip)
+                fp = quantize_darknet(fp, **kw)
             params = dict(params, darknet=fp)
             state = dict(state, darknet=fs)
         self.params = params
