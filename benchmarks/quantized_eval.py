@@ -8,6 +8,8 @@ serving variants:
     s2d            space-to-depth stem (exact transform; mAP must match)
     s2d_int8       + int8 weights (per-out-channel PTQ; quantifies the
                    accuracy cost of the 4x weight-traffic saving)
+    s2d_int8_acts  + int8 activations (calibrated per-conv scales,
+                   int8 x int8 -> int32 MXU convs; head convs stay float)
     bf16_s2d       bf16 backbone + s2d (the throughput serving config)
 
 Appends a ``serving_accuracy`` block to SYNTH_RESULTS.json.
@@ -32,7 +34,8 @@ from millieye_tpu.eval.harness import evaluate_fusion, summarize
 from millieye_tpu.io.checkpoint import load_checkpoint
 from millieye_tpu.models import Darknet, tiny_yolov3_defs
 from millieye_tpu.models.fusion import FusionConfig, FusionNetwork
-from millieye_tpu.ops.quantize import quantize_darknet
+from millieye_tpu.ops.quantize import (calibrate_act_scales,
+                                       quantize_darknet)
 from millieye_tpu.train.recipes import fusion_device_batch
 
 IMG = 416
@@ -48,8 +51,9 @@ def _cache(ds):
 
 def main(ckpt="runs/synthetic/stage3_final.npz",
          out_path="SYNTH_RESULTS.json", n_test=400):
-    cfg = FusionConfig(conf_thresh=0.05, pre_nms_top_k=512, max_det=64,
-                       max_radar=16)
+    cfg = FusionConfig(conf_thresh=0.2, pre_nms_top_k=512, max_det=64,
+                       max_radar=16)  # reference eval default (see
+                                      # synthetic_e2e.py)
     base_dn = Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
                       img_size=IMG)
     base = FusionNetwork(base_dn, cfg)
@@ -66,12 +70,24 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
         fp_s2d = s2d_dn.fold_s2d(fp)
         fp_int8 = quantize_darknet(fp_s2d)
 
+    # activation calibration on 4 mixed H/L training batches (device
+    # cache: no per-batch H2D)
+    cal_cache = _cache(SyntheticScenes(64, seed=0))
+    cal = [b["images"] for b in cal_cache.loader(16)]
+    absmax = calibrate_act_scales(s2d_dn, fp_s2d,
+                                  dict(state, darknet=fs)["darknet"], cal)
+    with jax.default_device(cpu):
+        fp_int8a = quantize_darknet(fp_s2d, act_absmax=absmax,
+                                    act_skip=s2d_dn.act_int8_skip)
+
     variants = {
         "f32": (base, dict(params, darknet=fp), "float32"),
         "s2d": (FusionNetwork(s2d_dn, cfg),
                 dict(params, darknet=fp_s2d), "float32"),
         "s2d_int8": (FusionNetwork(s2d_dn, cfg),
                      dict(params, darknet=fp_int8), "float32"),
+        "s2d_int8_acts": (FusionNetwork(s2d_dn, cfg),
+                          dict(params, darknet=fp_int8a), "float32"),
         "bf16_s2d": (FusionNetwork(
             s2d_dn, FusionConfig(conf_thresh=0.05, pre_nms_top_k=512,
                                  max_det=64, max_radar=16,

@@ -79,21 +79,31 @@ def main(quick=False, out_path="SYNTH_RESULTS.json",
     # are set by optimization need, not wall-clock: stage 3's radar-row
     # scoring was visibly undertrained at 8 epochs (fusion trailed yolo
     # even on bright frames)
-    e1, e2, e3 = (2, 1, 1) if quick else (16, 8, 24)
+    # e2 sets the frozen regression quality that bounds stage-3's radar-
+    # row boxes (module3 excludes the regression loss, my_models.py:635)
+    e1, e2, e3 = (2, 1, 1) if quick else (16, 16, 24)
     batch = 16
     report = {"config": {"n_train": n_train, "n_test": n_test,
                          "epochs": [e1, e2, e3], "batch": batch,
                          "img": IMG, "seeds": {"train": 0, "test": 777}}}
     t_all = time.time()
 
-    cfg = FusionConfig(conf_thresh=0.05, pre_nms_top_k=512, max_det=64,
+    # conf_thresh 0.2 is the reference eval's default (test_fusion.py:143):
+    # at 0.05 the fusion mode must rank ~200 junk image rows by ensemble
+    # score and any calibration noise collapses precision; yolo mode is
+    # immune (ranked by its own conf), which skews the comparison
+    cfg = FusionConfig(conf_thresh=0.2, pre_nms_top_k=512, max_det=64,
                        max_radar=16)
     darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
                       img_size=IMG)
 
-    # one train cache serves all three stages (the radar variant's images
-    # are bit-identical to radar=False: radar rng draws happen after the
-    # image is finished); one cache per test split serves every eval
+    # one mixed day/night cache serves all three stages, mirroring the
+    # reference: module2 trains on ExDark — dark-but-VISIBLE images —
+    # and module3 on the day+night radar set. Tuning history: when the
+    # dark split was sub-noise-floor, mixed stage-2 collapsed bright
+    # ranking (H 0.94->0.32) and bright-only stage-2 left dim frames OOD
+    # for the frozen regression (stage-3 dark mAP ~0); dim-but-visible
+    # darks + mixed training is the regime where both hold.
     print("building device caches...", flush=True)
     train_cache = radar_cache(SyntheticScenes(n_train, seed=0))
     test_cache = {
@@ -203,7 +213,8 @@ def main(quick=False, out_path="SYNTH_RESULTS.json",
                         "train_secs": round(time.time() - t0, 1)}
 
     for light in ("H", "L"):
-        for mode, name in ((1, "yolo"), (0, "millieye"), (3, "auto")):
+        for mode, name in ((1, "yolo"), (0, "millieye"), (2, "radar"),
+                           (3, "auto")):
             batches = (fusion_device_batch(b, IMG) for b in
                        test_cache[light].loader(batch))
             res = evaluate_fusion(fusion, ts3.params, ts3.state, batches,
