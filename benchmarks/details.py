@@ -48,7 +48,7 @@ def main():
     rng = np.random.default_rng(0)
     results = {"device": str(jax.devices()[0])}
 
-    def build(dtype, s2d=(), int8=False):
+    def build(dtype, s2d=(), int8=False, int8_acts=False):
         darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=s),
                           img_size=s, s2d_stages=s2d)
         cfg = FusionConfig(compute_dtype=dtype)
@@ -63,7 +63,14 @@ def main():
             if s2d:
                 fp = darknet.fold_s2d(fp)
             if int8:
-                fp = quantize_darknet(fp)
+                kw = {}
+                if int8_acts:
+                    # random-weight throughput run: any positive scales
+                    # exercise the int8 MXU path (accuracy is measured
+                    # separately on the trained net, quantized_eval.py)
+                    kw = dict(act_absmax=np.full(len(fp), 4.0, np.float32),
+                              act_skip=darknet.act_int8_skip)
+                fp = quantize_darknet(fp, **kw)
         return model, dict(params, darknet=fp), dict(state, darknet=fs)
 
     def inputs(b):
@@ -75,31 +82,39 @@ def main():
         rb[..., 2:] = rb[..., :2] + 0.2
         return images, maps, jnp.asarray(rb), jnp.ones((b, 32), bool)
 
-    VARIANTS = (("plain", (), False),
-                ("s2d", (0, 2), False),
-                ("s2d_int8", (0, 2), True))
-    for dtype in ("float32", "bfloat16"):
-        for vname, s2d, int8 in VARIANTS:
-            model, params, state = build(dtype, s2d, int8)
+    # each cold compile costs ~10 min through the tunnel: spend them on
+    # the parity config (f32 plain), the reference throughput config
+    # (bf16 plain), the transform check (f32 s2d), and the serving ladder
+    # (bf16 s2d -> +int8 weights -> +int8 activations)
+    VARIANTS = (("float32", "plain", (), False, False),
+                ("bfloat16", "plain", (), False, False),
+                ("float32", "s2d", (0, 2), False, False),
+                ("bfloat16", "s2d", (0, 2), False, False),
+                ("bfloat16", "s2d_int8", (0, 2), True, False),
+                ("bfloat16", "s2d_int8_acts", (0, 2), True, True))
+    for dtype, vname, s2d, int8, acts in VARIANTS:
+        model, params, state = build(dtype, s2d, int8, acts)
 
-            def fwd(i, m, r, v):
-                out = model.apply(params, state, i, m, r, v, mode=0)
-                return out["boxes"], out["valid"]
+        def fwd(i, m, r, v):
+            out = model.apply(params, state, i, m, r, v, mode=0)
+            return out["boxes"], out["valid"]
 
-            step = jax.jit(fwd)
-            for b in (1, 8, 32):
-                dt = _measure(step, inputs(b),
-                              iters=(100 if b == 1 else 30))
-                key = f"fusion_fwd_{dtype}_{vname}_b{b}_fps"
-                results[key] = round(b / dt, 1)
-                print(f"{key}: {results[key]}", flush=True)
+        step = jax.jit(fwd)
+        for b in (1, 32):
+            dt = _measure(step, inputs(b),
+                          iters=(100 if b == 1 else 30))
+            key = f"fusion_fwd_{dtype}_{vname}_b{b}_fps"
+            results[key] = round(b / dt, 1)
+            print(f"{key}: {results[key]}", flush=True)
 
     # device latency (scan-amortized): the tunnel's ~1 ms per-program
     # dispatch floor hides b1 gains in wall-clock fps; K chained
     # executions inside one program measure what the chip itself does
     from benchmarks.backbone_profile import bench_scanned
-    for vname, s2d, int8 in VARIANTS:
-        model, params, state = build("float32", s2d, int8)
+    for vname, s2d, int8, acts in (("plain", (), False, False),
+                                   ("s2d", (0, 2), False, False),
+                                   ("s2d_int8_acts", (0, 2), True, True)):
+        model, params, state = build("float32", s2d, int8, acts)
         i1, m1, r1, v1 = inputs(1)
 
         def fused(img, _m=model, _p=params, _s=state, _mm=m1, _r=r1, _v=v1):
