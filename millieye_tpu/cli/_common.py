@@ -10,22 +10,44 @@ from millieye_tpu.models.fusion import (FusionConfig, FusionNetwork,
                                         RefineNetwork)
 
 
-def build_darknet(model_cfg=None, num_classes=12, img_size=416):
+def build_darknet(model_cfg=None, num_classes=12, img_size=416,
+                  s2d_stages=()):
     """From a darknet .cfg file (weight-compatible path) or the native
     zoo definition."""
     if model_cfg:
-        return Darknet(model_cfg, img_size=img_size)
+        return Darknet(model_cfg, img_size=img_size, s2d_stages=s2d_stages)
     return Darknet(tiny_yolov3_defs(num_classes=num_classes,
-                                    img_size=img_size), img_size=img_size)
+                                    img_size=img_size), img_size=img_size,
+                   s2d_stages=s2d_stages)
 
 
-def build_fusion(args_cfg=None, **overrides):
+def build_fusion(args_cfg=None, s2d_stages=(), **overrides):
     darknet = build_darknet(getattr(args_cfg, "model_def", None),
-                            img_size=getattr(args_cfg, "img_size", 416))
+                            img_size=getattr(args_cfg, "img_size", 416),
+                            s2d_stages=s2d_stages)
     cfg = FusionConfig(**overrides)
     model = FusionNetwork(darknet, cfg)
     params, state = model.init(jax.random.PRNGKey(0))
     return model, params, state
+
+
+# --serving ladder shared by the demo/realtime CLIs: named presets over
+# (compute dtype, s2d stem, int8 weights, int8 activations)
+SERVING_PRESETS = {
+    "f32": {},
+    "bf16": {"compute_dtype": "bfloat16"},
+    "s2d": {"s2d": True},
+    "bf16_s2d": {"compute_dtype": "bfloat16", "s2d": True},
+    "int8": {"s2d": True, "weights_int8": True},
+    "int8_acts": {"s2d": True, "weights_int8": True, "acts_int8": True},
+}
+
+
+def serving_overrides(name):
+    """(s2d_stages, FusionConfig overrides) for a preset name."""
+    preset = dict(SERVING_PRESETS[name])
+    s2d = (0, 2) if preset.pop("s2d", False) else ()
+    return s2d, preset
 
 
 def build_refine(args_cfg=None, **overrides):

@@ -14,7 +14,8 @@ from __future__ import annotations
 import argparse
 import os
 
-from millieye_tpu.cli._common import build_fusion
+from millieye_tpu.cli._common import (build_fusion, serving_overrides,
+                                      SERVING_PRESETS)
 from millieye_tpu.cli.evaluate import _load_fusion
 from millieye_tpu.radar.projection import load_calib
 from millieye_tpu.radar.pipeline import RadarParams
@@ -36,17 +37,29 @@ def parse_args(argv=None):
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--save_dir", default=None,
                    help="write annotated frames here")
+    p.add_argument("--serving", default="f32",
+                   choices=sorted(SERVING_PRESETS),
+                   help="serving preset: compute dtype / space-to-depth "
+                        "stem / int8 weights / int8 activations "
+                        "(int8_acts calibrates on the recording's first "
+                        "frames)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    s2d, over = serving_overrides(args.serving)
     model, params, state = build_fusion(
-        args, refine_threshold_radar=args.refine_threshold_radar)
+        args, s2d_stages=s2d,
+        refine_threshold_radar=args.refine_threshold_radar, **over)
     if args.weights:
         params, state = _load_fusion(model, params, state, args.weights)
+    act_absmax = None
+    if model.cfg.acts_int8:
+        act_absmax = _calibrate(model, params, state, args)
     engine = FusionEngine(model, params, state,
-                          frame_size=(args.frame_w, args.frame_h))
+                          frame_size=(args.frame_w, args.frame_h),
+                          act_absmax=act_absmax)
     calib = load_calib(args.calib)
     pipe = StreamingPipeline(engine, args.recording, calib,
                              RadarParams(frame_size=(args.frame_w,
@@ -61,6 +74,33 @@ def main(argv=None):
     n, report = pipe.run(on_result=on_result, max_frames=args.max_frames)
     print(f"frames: {n}  report: {report}")
     return report
+
+
+def _calibrate(model, params, state, args, n_frames=8):
+    """Int8-activation calibration over the recording's first frames,
+    letterboxed exactly as the engine ingests them."""
+    import numpy as np
+    import jax.numpy as jnp
+    from millieye_tpu.collection.prepare import iter_frames
+    from millieye_tpu.ops import letterbox as lb
+    from millieye_tpu.ops.quantize import calibrate_act_scales
+
+    s = model.darknet.img_size
+    frames = []
+    for _, frame in iter_frames(args.recording):
+        img, _ = lb.letterbox_image(jnp.asarray(frame), s)
+        frames.append(img)
+        if len(frames) >= n_frames:
+            break
+    if not frames:
+        raise ValueError("int8_acts calibration needs at least one frame "
+                         f"in {args.recording}")
+    fp, fs = model.darknet.fold_batchnorm(params["darknet"],
+                                          state["darknet"])
+    if model.darknet.s2d_stages:
+        fp = model.darknet.fold_s2d(fp)
+    return calibrate_act_scales(model.darknet, fp, fs,
+                                [jnp.stack(frames)])
 
 
 def _make_saver(args):

@@ -1,0 +1,70 @@
+"""Demo-CLI serving presets (--serving ladder): each preset must build,
+calibrate when needed (int8_acts), and stream a tiny recording end to
+end with finite outputs."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from millieye_tpu.cli._common import SERVING_PRESETS, serving_overrides
+
+FRAME = (64, 48)
+
+
+def _write_recording(root, n_frames=3):
+    from PIL import Image
+    os.makedirs(os.path.join(root, "frames"), exist_ok=True)
+    rng = np.random.default_rng(1)
+    with open(os.path.join(root, "timestamps.txt"), "w") as f:
+        for i in range(n_frames):
+            f.write(f"{100.0 + 0.05 * i} {i}\n")
+    for i in range(n_frames):
+        img = (rng.uniform(size=(FRAME[1], FRAME[0], 3)) * 255).astype(
+            np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(root, "frames", f"{i:06d}.jpg"))
+    records = []
+    for i in range(n_frames):
+        n = 5
+        records.append({
+            "Data": {"numObj": n,
+                     "x": rng.uniform(-0.5, 0.5, n),
+                     "y": rng.uniform(1.0, 3.0, n),
+                     "z": rng.uniform(-0.2, 0.2, n),
+                     "velocity": rng.uniform(-1, 1, n)},
+            "Time": 100.0 + 0.05 * i, "Frame_ID": i})
+    with open(os.path.join(root, "pointcloud.pkl"), "wb") as f:
+        pickle.dump(records, f)
+
+
+def _write_calib(path):
+    import yaml
+    doc = {"camera_matrix": {"data": [40.0, 0, 32.0, 0, 40.0, 24.0,
+                                      0, 0, 1]},
+           "distortion_coefficients": {"data": [0.0] * 5}}
+    with open(path, "w") as f:
+        yaml.safe_dump(doc, f)
+
+
+def test_serving_overrides_shape():
+    assert serving_overrides("f32") == ((), {})
+    s2d, over = serving_overrides("int8_acts")
+    assert s2d == (0, 2)
+    assert over == {"weights_int8": True, "acts_int8": True}
+    assert set(SERVING_PRESETS) == {"f32", "bf16", "s2d", "bf16_s2d",
+                                    "int8", "int8_acts"}
+
+
+@pytest.mark.parametrize("preset", ["bf16_s2d", "int8_acts"])
+def test_demo_cli_serving_end_to_end(tmp_path, preset):
+    from millieye_tpu.cli import demo
+    rec = str(tmp_path / "rec")
+    _write_recording(rec)
+    calib = str(tmp_path / "calib.yaml")
+    _write_calib(calib)
+    report = demo.main([
+        "--recording", rec, "--calib", calib, "--serving", preset,
+        "--img_size", "128", "--frame_w", str(FRAME[0]),
+        "--frame_h", str(FRAME[1])])
+    assert report["e2e_fps"] > 0
