@@ -35,8 +35,7 @@ def main():
         print("reference recording unavailable")
         return
 
-    model, params, state = g._build_fusion(416, 200, 32, 512,
-                                           s2d_stages=(0, 2))
+    model, params, state = g._build_fusion(416, 200, 32, 512)
     engine = FusionEngine(model, params, state, frame_size=(640, 480))
 
     # synthetic camera frames (decode is not what's being measured here);
