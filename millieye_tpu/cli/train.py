@@ -54,8 +54,31 @@ def parse_args(argv=None):
                    help="train on N procedurally-labeled synthetic scenes "
                         "instead of a dataset root (data.synthetic)")
     p.add_argument("--multiscale", action="store_true")
+    p.add_argument("--device_cache", action="store_true",
+                   help="put the whole padded dataset on device once and "
+                        "feed the step by on-device index gather "
+                        "(data/device_cache.py) — kills input-pipeline "
+                        "H2D from the step loop; incompatible with "
+                        "--multiscale (fixed shapes)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
+
+
+def _make_loader(dataset, args, max_targets=64, radar=False):
+    kw = dict(max_targets=max_targets)
+    if radar:
+        kw.update(max_radar=32, max_points=256)
+    if args.device_cache:
+        if args.multiscale:
+            raise SystemExit("--device_cache needs fixed shapes; "
+                             "drop --multiscale")
+        from millieye_tpu.data.device_cache import DeviceCache
+        cache = DeviceCache.build(
+            dataset, PaddedCollate(args.img_size, **kw))
+        return cache.loader(args.batch_size, shuffle=True, seed=args.seed)
+    collate = PaddedCollate(args.img_size, multiscale=args.multiscale, **kw)
+    return DataLoader(dataset, args.batch_size, collate, shuffle=True,
+                      seed=args.seed)
 
 
 def main(argv=None):
@@ -84,9 +107,7 @@ def main(argv=None):
             dataset = RadarFusionDataset(args.data_root, "train",
                                          tuple(args.illumination),
                                          args.test_list)
-        collate = PaddedCollate(args.img_size, multiscale=args.multiscale)
-        loader = DataLoader(dataset, args.batch_size, collate, shuffle=True,
-                            seed=args.seed)
+        loader = _make_loader(dataset, args, radar=True)
         batch_fn = lambda b: recipes.fusion_device_batch(b, args.img_size)
     else:
         if args.synthetic:
@@ -97,9 +118,7 @@ def main(argv=None):
             dataset = ExDarkDataset(args.exdark_root, "train")
         else:
             dataset = ImageListDataset(args.train_list, augment=True)
-        collate = PaddedCollate(args.img_size, multiscale=args.multiscale)
-        loader = DataLoader(dataset, args.batch_size, collate, shuffle=True,
-                            seed=args.seed)
+        loader = _make_loader(dataset, args)
         batch_fn = lambda b: recipes.fusion_device_batch(b, args.img_size)
         if args.stage == "yolo":
             darknet = build_darknet(args.model_def, img_size=args.img_size)
