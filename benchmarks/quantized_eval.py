@@ -88,8 +88,18 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
             fp_s2d, act_absmax=absmax,
             act_skip=tuple(s2d_dn.act_int8_skip) + (0, 2, 4))
 
+    # mixed-precision stem: bf16 everywhere except convs 0/2/4 (f32) —
+    # candidate dark-safe throughput config (all-bf16 costs -0.043 dark)
+    mixed_dn = Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                       img_size=IMG, hi_prec_stages=(0, 2, 4))
+
     variants = {
         "f32": (base, dict(params, darknet=fp), "float32"),
+        "bf16_f32stem": (FusionNetwork(
+            mixed_dn, FusionConfig(conf_thresh=0.2, pre_nms_top_k=512,
+                                   max_det=64, max_radar=16,
+                                   compute_dtype="bfloat16")),
+            dict(params, darknet=fp), "bfloat16"),
         "s2d": (FusionNetwork(s2d_dn, cfg),
                 dict(params, darknet=fp_s2d), "float32"),
         "s2d_int8": (FusionNetwork(s2d_dn, cfg),

@@ -146,7 +146,8 @@ def decode_yolo(raw, anchors, num_classes, img_dim):
 class Darknet:
     """cfg/zoo-driven YOLO graph. Stateless; owns only the layer plan."""
 
-    def __init__(self, config, img_size=416, feature_tap=8, s2d_stages=()):
+    def __init__(self, config, img_size=416, feature_tap=8, s2d_stages=(),
+                 hi_prec_stages=()):
         if isinstance(config, (str,)):
             config = parse_model_config(config)
         self.hyperparams = config[0]
@@ -155,6 +156,11 @@ class Darknet:
         self.feature_tap = feature_tap
         self._plan = self._build_plan()
         self.s2d_stages = tuple(s2d_stages)
+        # convs kept in float32 under a low-precision compute_dtype
+        # (mixed-precision stem: dim night frames use ~1/30 of the input
+        # range, and bf16's 8-bit mantissa there costs dark-frame mAP —
+        # same mechanism as the int8-activation float-stem finding)
+        self.hi_prec_stages = tuple(hi_prec_stages)
         self._validate_s2d_stages()
         self.yolo_blocks = [
             (i, b) for i, b in enumerate(self.block_defs) if b["type"] == "yolo"
@@ -309,6 +315,10 @@ class Darknet:
             q = p["q" if key == "w" else "q2"]
             return q.astype(compute_dtype) * p["scale"].astype(compute_dtype)
 
+        def _layer_dtype(i):
+            return (jnp.float32 if i in self.hi_prec_stages
+                    else compute_dtype)
+
         def _conv_maybe_int8(i, p, z, key, stride, pad):
             # int8 ACTIVATION path ("xs" slot from calibrate_act_scales):
             # the input quantizes on the VPU (fuses into the producer's
@@ -329,7 +339,7 @@ class Darknet:
                     preferred_element_type=jnp.int32)
                 sc = (p["xs"] * p["scale"]).astype(compute_dtype)
                 return y.astype(compute_dtype) * sc.reshape(1, 1, 1, -1)
-            return _conv2d(z, _weight(p, key), stride, pad, compute_dtype)
+            return _conv2d(z, _weight(p, key), stride, pad, _layer_dtype(i))
 
         for i, info in enumerate(self._plan):
             t = info["type"]
@@ -420,7 +430,7 @@ class Darknet:
         still runs in float32.
         """
         folded_params, folded_state = [], []
-        for info, p, s in zip(self._plan, params, state):
+        for i, (info, p, s) in enumerate(zip(self._plan, params, state)):
             if info["type"] == "convolutional" and info["bn"]:
                 scale = p["gamma"] * jax.lax.rsqrt(s["var"] + _BN_EPS)
                 fp = {"w": p["w"] * scale, "b": p["beta"] - s["mean"] * scale}
@@ -432,7 +442,10 @@ class Darknet:
                 folded_params.append(p)
                 folded_state.append(s)
                 continue
-            if dtype is not None:
+            # hi-prec stages keep f32 weights: casting them down here
+            # would lose the precision the mixed-precision stem exists
+            # to preserve
+            if dtype is not None and i not in self.hi_prec_stages:
                 fp = {k: v.astype(dtype) for k, v in fp.items()}
             folded_params.append(fp)
         return folded_params, folded_state
