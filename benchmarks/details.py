@@ -48,9 +48,9 @@ def main():
     rng = np.random.default_rng(0)
     results = {"device": str(jax.devices()[0])}
 
-    def build(dtype, s2d=(), int8=False, int8_acts=False):
+    def build(dtype, s2d=(), int8=False, int8_acts=False, hi_prec=()):
         darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=s),
-                          img_size=s, s2d_stages=s2d)
+                          img_size=s, s2d_stages=s2d, hi_prec_stages=hi_prec)
         cfg = FusionConfig(compute_dtype=dtype)
         model = FusionNetwork(darknet, cfg)
         cpu = g._init_device()
@@ -90,14 +90,17 @@ def main():
     # the parity config (f32 plain), the reference throughput config
     # (bf16 plain), the transform check (f32 s2d), and the serving ladder
     # (bf16 s2d -> +int8 weights -> +int8 activations)
-    VARIANTS = (("float32", "plain", (), False, False),
-                ("bfloat16", "plain", (), False, False),
-                ("float32", "s2d", (0, 2), False, False),
-                ("bfloat16", "s2d", (0, 2), False, False),
-                ("bfloat16", "s2d_int8", (0, 2), True, False),
-                ("bfloat16", "s2d_int8_acts", (0, 2), True, True))
-    for dtype, vname, s2d, int8, acts in VARIANTS:
-        model, params, state = build(dtype, s2d, int8, acts)
+    VARIANTS = (("float32", "plain", (), False, False, ()),
+                ("bfloat16", "plain", (), False, False, ()),
+                ("float32", "s2d", (0, 2), False, False, ()),
+                ("bfloat16", "s2d", (0, 2), False, False, ()),
+                ("bfloat16", "s2d_int8", (0, 2), True, False, ()),
+                ("bfloat16", "s2d_int8_acts", (0, 2), True, True, ()),
+                # dark-safe throughput config: bf16 with f32 stem convs
+                # (mAP matches f32 on both splits, quantized_eval)
+                ("bfloat16", "f32stem", (), False, False, (0, 2, 4)))
+    for dtype, vname, s2d, int8, acts, hi in VARIANTS:
+        model, params, state = build(dtype, s2d, int8, acts, hi)
 
         def fwd(i, m, r, v):
             out = model.apply(params, state, i, m, r, v, mode=0)

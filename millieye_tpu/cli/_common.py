@@ -21,10 +21,12 @@ def build_darknet(model_cfg=None, num_classes=12, img_size=416,
                    s2d_stages=s2d_stages)
 
 
-def build_fusion(args_cfg=None, s2d_stages=(), **overrides):
+def build_fusion(args_cfg=None, s2d_stages=(), hi_prec_stages=(),
+                 **overrides):
     darknet = build_darknet(getattr(args_cfg, "model_def", None),
                             img_size=getattr(args_cfg, "img_size", 416),
                             s2d_stages=s2d_stages)
+    darknet.hi_prec_stages = tuple(hi_prec_stages)
     cfg = FusionConfig(**overrides)
     model = FusionNetwork(darknet, cfg)
     params, state = model.init(jax.random.PRNGKey(0))
@@ -32,10 +34,14 @@ def build_fusion(args_cfg=None, s2d_stages=(), **overrides):
 
 
 # --serving ladder shared by the demo/realtime CLIs: named presets over
-# (compute dtype, s2d stem, int8 weights, int8 activations)
+# (compute dtype, s2d stem, f32 stem convs, int8 weights, int8 acts).
+# bf16_f32stem is the recommended throughput config: bf16 speed with the
+# stem convs in f32 — mAP matches f32 on both bright and dark splits
+# (SYNTH_RESULTS.json serving table), where all-bf16 costs -0.043 dark.
 SERVING_PRESETS = {
     "f32": {},
     "bf16": {"compute_dtype": "bfloat16"},
+    "bf16_f32stem": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4)},
     "s2d": {"s2d": True},
     "bf16_s2d": {"compute_dtype": "bfloat16", "s2d": True},
     "int8": {"s2d": True, "weights_int8": True},
@@ -44,10 +50,11 @@ SERVING_PRESETS = {
 
 
 def serving_overrides(name):
-    """(s2d_stages, FusionConfig overrides) for a preset name."""
+    """(s2d_stages, hi_prec_stages, FusionConfig overrides) for a preset."""
     preset = dict(SERVING_PRESETS[name])
     s2d = (0, 2) if preset.pop("s2d", False) else ()
-    return s2d, preset
+    hi = tuple(preset.pop("hi_prec", ()))
+    return s2d, hi, preset
 
 
 def build_refine(args_cfg=None, **overrides):

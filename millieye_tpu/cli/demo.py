@@ -48,9 +48,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    s2d, over = serving_overrides(args.serving)
+    s2d, hi_prec, over = serving_overrides(args.serving)
     model, params, state = build_fusion(
-        args, s2d_stages=s2d,
+        args, s2d_stages=s2d, hi_prec_stages=hi_prec,
         refine_threshold_radar=args.refine_threshold_radar, **over)
     if args.weights:
         params, state = _load_fusion(model, params, state, args.weights)
