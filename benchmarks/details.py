@@ -48,9 +48,11 @@ def main():
     rng = np.random.default_rng(0)
     results = {"device": str(jax.devices()[0])}
 
-    def build(dtype, s2d=(), int8=False, int8_acts=False, hi_prec=()):
+    def build(dtype, s2d=(), int8=False, int8_acts=False, hi_prec=(),
+              hi_store=None):
         darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=s),
-                          img_size=s, s2d_stages=s2d, hi_prec_stages=hi_prec)
+                          img_size=s, s2d_stages=s2d, hi_prec_stages=hi_prec,
+                          hi_prec_store=hi_store)
         cfg = FusionConfig(compute_dtype=dtype)
         model = FusionNetwork(darknet, cfg)
         cpu = g._init_device()
@@ -96,11 +98,18 @@ def main():
                 ("bfloat16", "s2d", (0, 2), False, False, ()),
                 ("bfloat16", "s2d_int8", (0, 2), True, False, ()),
                 ("bfloat16", "s2d_int8_acts", (0, 2), True, True, ()),
-                # dark-safe throughput config: bf16 with f32 stem convs
-                # (mAP matches f32 on both splits, quantized_eval)
-                ("bfloat16", "f32stem", (), False, False, (0, 2, 4)))
-    for dtype, vname, s2d, int8, acts, hi in VARIANTS:
-        model, params, state = build(dtype, s2d, int8, acts, hi)
+                # dark-safe configs: bf16 with f32 stem conv arithmetic;
+                # f32stem stores stem activations f32 (accurate but
+                # HBM-bound), f16stem stores them f16 (same arithmetic,
+                # bf16-like bandwidth)
+                ("bfloat16", "f32stem", (), False, False, (0, 2, 4), None),
+                ("bfloat16", "f16stem", (), False, False, (0, 2, 4),
+                 "float16"))
+    for dtype, vname, s2d, int8, acts, *hi_args in VARIANTS:
+        hi = hi_args[0] if hi_args else ()
+        hi_store = (jnp.float16 if len(hi_args) > 1 and hi_args[1]
+                    else None)
+        model, params, state = build(dtype, s2d, int8, acts, hi, hi_store)
 
         def fwd(i, m, r, v):
             out = model.apply(params, state, i, m, r, v, mode=0)

@@ -92,6 +92,14 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
     # candidate dark-safe throughput config (all-bf16 costs -0.043 dark)
     mixed_dn = Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
                        img_size=IMG, hi_prec_stages=(0, 2, 4))
+    # f32 arithmetic + f16 STORAGE on the stem: the stem stages are
+    # HBM-bound, so pure-f32 storage there costs the whole bf16 win
+    # (details.py: 2469 vs 3281 fps b32); f16's 11-bit mantissa should
+    # keep the dark contrast the bf16 store loses
+    import jax.numpy as jnp
+    f16s_dn = Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                      img_size=IMG, hi_prec_stages=(0, 2, 4),
+                      hi_prec_store=jnp.float16)
 
     variants = {
         "f32": (base, dict(params, darknet=fp), "float32"),
@@ -99,6 +107,11 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
             mixed_dn, FusionConfig(conf_thresh=0.2, pre_nms_top_k=512,
                                    max_det=64, max_radar=16,
                                    compute_dtype="bfloat16")),
+            dict(params, darknet=fp), "bfloat16"),
+        "bf16_f16stem": (FusionNetwork(
+            f16s_dn, FusionConfig(conf_thresh=0.2, pre_nms_top_k=512,
+                                  max_det=64, max_radar=16,
+                                  compute_dtype="bfloat16")),
             dict(params, darknet=fp), "bfloat16"),
         "s2d": (FusionNetwork(s2d_dn, cfg),
                 dict(params, darknet=fp_s2d), "float32"),

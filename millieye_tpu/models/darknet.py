@@ -147,7 +147,7 @@ class Darknet:
     """cfg/zoo-driven YOLO graph. Stateless; owns only the layer plan."""
 
     def __init__(self, config, img_size=416, feature_tap=8, s2d_stages=(),
-                 hi_prec_stages=()):
+                 hi_prec_stages=(), hi_prec_store=None):
         if isinstance(config, (str,)):
             config = parse_model_config(config)
         self.hyperparams = config[0]
@@ -156,11 +156,16 @@ class Darknet:
         self.feature_tap = feature_tap
         self._plan = self._build_plan()
         self.s2d_stages = tuple(s2d_stages)
-        # convs kept in float32 under a low-precision compute_dtype
-        # (mixed-precision stem: dim night frames use ~1/30 of the input
-        # range, and bf16's 8-bit mantissa there costs dark-frame mAP —
-        # same mechanism as the int8-activation float-stem finding)
+        # convs kept in float32 under a low-precision compute_dtype.
+        # Mechanism (measured on the trained net): dark-frame object
+        # contrast (~0.007) rides on O(1) bias-dominated activations, so
+        # an 8-bit-mantissa dtype quantizes it to ~50% error at every
+        # early-layer STORE — all-bf16 costs -0.043 dark mAP, f32 stem
+        # convs recover it exactly. The stem stages are HBM-bound, so
+        # ``hi_prec_store`` (e.g. jnp.float16, 11-bit mantissa) restores
+        # the bandwidth saving while keeping f32 arithmetic.
         self.hi_prec_stages = tuple(hi_prec_stages)
+        self.hi_prec_store = hi_prec_store
         self._validate_s2d_stages()
         self.yolo_blocks = [
             (i, b) for i, b in enumerate(self.block_defs) if b["type"] == "yolo"
@@ -399,6 +404,11 @@ class Darknet:
                 dets.append(det)
                 preds.append(pred)
                 x = det  # occupies the slot, like the reference layer_outputs
+            if (t == "convolutional" and self.hi_prec_store is not None
+                    and i in self.hi_prec_stages and not train):
+                # f32 arithmetic above, compact storage between stages:
+                # the cast fuses into the epilogue, HBM sees hi_prec_store
+                x = x.astype(self.hi_prec_store)
             outputs.append(x)
             if i == self.feature_tap:
                 feature_map = lax.stop_gradient(x)

@@ -20,6 +20,39 @@ def _nets(img=128):
     return full, mixed, params, state
 
 
+def test_f16_store_keeps_dim_precision():
+    """f32 arithmetic + f16 storage on the stem: within ~4x of the pure
+    f32-stem error on dim inputs, far below all-bf16 (the stem is
+    HBM-bound, so the f16 store is what makes the config fast)."""
+    img = 128
+    defs = tiny_yolov3_defs(num_classes=12, img_size=img)
+    full = Darknet(defs, img_size=img)
+    mixed = Darknet(defs, img_size=img, hi_prec_stages=STEM)
+    f16s = Darknet(defs, img_size=img, hi_prec_stages=STEM,
+                   hi_prec_store=jnp.float16)
+    params, state = full.init(jax.random.PRNGKey(0))
+    fp32, fs = full.fold_batchnorm(params, state)
+    fbf, _ = full.fold_batchnorm(params, state, dtype=jnp.bfloat16)
+    fmix, _ = mixed.fold_batchnorm(params, state, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(size=(2, img, img, 3)) * 0.03, jnp.float32)
+    ref = np.asarray(full.apply(fp32, fs, x)["feature_map"], np.float64)
+
+    def err(net, p):
+        fm = net.apply(p, fs, x, compute_dtype=jnp.bfloat16)["feature_map"]
+        return np.abs(np.asarray(fm, np.float64) - ref).mean() / (
+            np.abs(ref).mean() + 1e-9)
+
+    e_bf = err(full, fbf)
+    e_mx = err(mixed, fmix)
+    e_f16 = err(f16s, fmix)
+    # the shared bf16 tail (stages 5+) dominates all three errors; the
+    # stem choice must strictly order the residual: f32 store <= f16
+    # store < bf16 stem
+    assert e_mx <= e_f16 < e_bf, (e_mx, e_f16, e_bf)
+
+
 def test_fold_keeps_stem_f32():
     full, mixed, params, state = _nets()
     fp, _ = mixed.fold_batchnorm(params, state, dtype=jnp.bfloat16)
