@@ -22,11 +22,14 @@ def build_darknet(model_cfg=None, num_classes=12, img_size=416,
 
 
 def build_fusion(args_cfg=None, s2d_stages=(), hi_prec_stages=(),
-                 **overrides):
+                 hi_prec_store=None, **overrides):
     darknet = build_darknet(getattr(args_cfg, "model_def", None),
                             img_size=getattr(args_cfg, "img_size", 416),
                             s2d_stages=s2d_stages)
     darknet.hi_prec_stages = tuple(hi_prec_stages)
+    if hi_prec_store is not None:
+        import jax.numpy as jnp
+        darknet.hi_prec_store = jnp.dtype(hi_prec_store)
     cfg = FusionConfig(**overrides)
     model = FusionNetwork(darknet, cfg)
     params, state = model.init(jax.random.PRNGKey(0))
@@ -34,13 +37,17 @@ def build_fusion(args_cfg=None, s2d_stages=(), hi_prec_stages=(),
 
 
 # --serving ladder shared by the demo/realtime CLIs: named presets over
-# (compute dtype, s2d stem, f32 stem convs, int8 weights, int8 acts).
-# bf16_f32stem is the recommended throughput config: bf16 speed with the
-# stem convs in f32 — mAP matches f32 on both bright and dark splits
-# (SYNTH_RESULTS.json serving table), where all-bf16 costs -0.043 dark.
+# (compute dtype, s2d stem, f32-arithmetic stem convs + their storage
+# dtype, int8 weights, int8 acts). bf16_f16stem is the RECOMMENDED
+# throughput config: 99% of all-bf16 speed (3253 vs 3279 fps b32) with
+# f32-level mAP on both bright and dark splits — all-bf16 costs -0.043
+# dark mAP because the 8-bit-mantissa store quantizes dim-frame contrast
+# in the early layers (SYNTH_RESULTS.json serving table, DESIGN.md).
 SERVING_PRESETS = {
     "f32": {},
     "bf16": {"compute_dtype": "bfloat16"},
+    "bf16_f16stem": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                     "hi_store": "float16"},
     "bf16_f32stem": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4)},
     "s2d": {"s2d": True},
     "bf16_s2d": {"compute_dtype": "bfloat16", "s2d": True},
@@ -50,11 +57,12 @@ SERVING_PRESETS = {
 
 
 def serving_overrides(name):
-    """(s2d_stages, hi_prec_stages, FusionConfig overrides) for a preset."""
+    """(s2d_stages, hi_prec_stages, hi_prec_store, cfg overrides)."""
     preset = dict(SERVING_PRESETS[name])
     s2d = (0, 2) if preset.pop("s2d", False) else ()
     hi = tuple(preset.pop("hi_prec", ()))
-    return s2d, hi, preset
+    store = preset.pop("hi_store", None)
+    return s2d, hi, store, preset
 
 
 def build_refine(args_cfg=None, **overrides):

@@ -48,18 +48,19 @@ def _write_calib(path):
 
 
 def test_serving_overrides_shape():
-    assert serving_overrides("f32") == ((), (), {})
-    s2d, hi, over = serving_overrides("int8_acts")
-    assert s2d == (0, 2) and hi == ()
+    assert serving_overrides("f32") == ((), (), None, {})
+    s2d, hi, store, over = serving_overrides("int8_acts")
+    assert s2d == (0, 2) and hi == () and store is None
     assert over == {"weights_int8": True, "acts_int8": True}
-    s2d, hi, over = serving_overrides("bf16_f32stem")
-    assert s2d == () and hi == (0, 2, 4)
+    s2d, hi, store, over = serving_overrides("bf16_f16stem")
+    assert s2d == () and hi == (0, 2, 4) and store == "float16"
     assert over == {"compute_dtype": "bfloat16"}
-    assert set(SERVING_PRESETS) == {"f32", "bf16", "bf16_f32stem", "s2d",
-                                    "bf16_s2d", "int8", "int8_acts"}
+    assert set(SERVING_PRESETS) == {"f32", "bf16", "bf16_f16stem",
+                                    "bf16_f32stem", "s2d", "bf16_s2d",
+                                    "int8", "int8_acts"}
 
 
-@pytest.mark.parametrize("preset", ["bf16_f32stem", "int8_acts"])
+@pytest.mark.parametrize("preset", ["bf16_f16stem", "int8_acts"])
 def test_demo_cli_serving_end_to_end(tmp_path, preset):
     from millieye_tpu.cli import demo
     rec = str(tmp_path / "rec")
