@@ -49,10 +49,10 @@ def main():
     results = {"device": str(jax.devices()[0])}
 
     def build(dtype, s2d=(), int8=False, int8_acts=False, hi_prec=(),
-              hi_store=None):
+              hi_store=None, im2col=()):
         darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=s),
                           img_size=s, s2d_stages=s2d, hi_prec_stages=hi_prec,
-                          hi_prec_store=hi_store)
+                          hi_prec_store=hi_store, im2col_stages=im2col)
         cfg = FusionConfig(compute_dtype=dtype)
         model = FusionNetwork(darknet, cfg)
         cpu = g._init_device()
@@ -64,6 +64,8 @@ def main():
                                             state["darknet"], dtype=cast)
             if s2d:
                 fp = darknet.fold_s2d(fp)
+            if im2col:
+                fp = darknet.fold_im2col(fp)
             if int8:
                 kw = {}
                 if int8_acts:
@@ -104,12 +106,18 @@ def main():
                 # bf16-like bandwidth)
                 ("bfloat16", "f32stem", (), False, False, (0, 2, 4), None),
                 ("bfloat16", "f16stem", (), False, False, (0, 2, 4),
-                 "float16"))
-    for dtype, vname, s2d, int8, acts, *hi_args in VARIANTS:
-        hi = hi_args[0] if hi_args else ()
-        hi_store = (jnp.float16 if len(hi_args) > 1 and hi_args[1]
-                    else None)
-        model, params, state = build(dtype, s2d, int8, acts, hi, hi_store)
+                 "float16"),
+                # im2col stem: patch matmul with full MXU lanes, no
+                # lane-dim shuffle (stage-0 plain runs at ~2% lane use)
+                ("bfloat16", "im2col", (), False, False, (), None, (0, 2)),
+                ("bfloat16", "im2col_f16stem", (), False, False, (0, 2, 4),
+                 "float16", (0, 2)))
+    for dtype, vname, s2d, int8, acts, *rest in VARIANTS:
+        hi = rest[0] if rest else ()
+        hi_store = (jnp.float16 if len(rest) > 1 and rest[1] else None)
+        im2col = rest[2] if len(rest) > 2 else ()
+        model, params, state = build(dtype, s2d, int8, acts, hi, hi_store,
+                                     im2col)
 
         def fwd(i, m, r, v):
             out = model.apply(params, state, i, m, r, v, mode=0)

@@ -75,6 +75,35 @@ def space_to_depth(x):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
 
 
+def im2col_stem_weight(w):
+    """[3, 3, C, D] conv kernel -> [16*C, 4*D] patch-matmul matrix.
+
+    Rewrites ``maxpool2(conv3x3_s1(x))`` as ONE matmul over 4x4 stride-2
+    patches: pooled output (i, j) needs the 4 conv outputs at
+    (2i+a, 2j+b), a,b in {0,1}, whose 3x3 taps all lie in the 4x4 input
+    window starting at (2i-1, 2j-1). Patch channel layout is
+    (dy*4+dx)-major then input channel; output column layout is
+    (a*2+b)-major then output channel, so a reshape to [..., 4, D] +
+    max(axis=-2) IS the pool. Exact for the same reason as s2d
+    (phase groups are the pool window, leaky is monotone), but the
+    patch extraction is 16 SPATIAL slices — no lane-dimension shuffle
+    (the s2d transpose that made fold_s2d lose end-to-end) — and the
+    matmul contracts over 16*C lanes (48 for the 3-channel stem vs 3:
+    the stage-0 conv otherwise runs at ~2% MXU lane utilization).
+    """
+    k, _, cin, cout = w.shape
+    assert k == 3, "im2col stem transform expects 3x3 kernels"
+    wm = jnp.zeros((16 * cin, 4 * cout), w.dtype)
+    for p in range(4):
+        a, b = p // 2, p % 2
+        for u in range(3):
+            for v in range(3):
+                t = (a + u) * 4 + (b + v)
+                wm = wm.at[t * cin:(t + 1) * cin,
+                           p * cout:(p + 1) * cout].set(w[u, v])
+    return wm
+
+
 def s2d_conv_weight(w):
     """[3, 3, C, D] conv kernel -> [3, 3, 4C, 4D] phase-decomposed kernel.
 
@@ -147,7 +176,7 @@ class Darknet:
     """cfg/zoo-driven YOLO graph. Stateless; owns only the layer plan."""
 
     def __init__(self, config, img_size=416, feature_tap=8, s2d_stages=(),
-                 hi_prec_stages=(), hi_prec_store=None):
+                 hi_prec_stages=(), hi_prec_store=None, im2col_stages=()):
         if isinstance(config, (str,)):
             config = parse_model_config(config)
         self.hyperparams = config[0]
@@ -156,6 +185,9 @@ class Darknet:
         self.feature_tap = feature_tap
         self._plan = self._build_plan()
         self.s2d_stages = tuple(s2d_stages)
+        self.im2col_stages = tuple(im2col_stages)
+        if set(self.s2d_stages) & set(self.im2col_stages):
+            raise ValueError("a stage cannot be both s2d and im2col")
         # convs kept in float32 under a low-precision compute_dtype.
         # Mechanism (measured on the trained net): dark-frame object
         # contrast (~0.007) rides on O(1) bias-dominated activations, so
@@ -226,16 +258,16 @@ class Darknet:
         return plan
 
     def _validate_s2d_stages(self):
-        """Each s2d stage must be a 3x3 stride-1 conv immediately followed
-        by a 2x2 stride-2 maxpool, with neither block route/shortcut-
-        referenced or the feature tap (the fused output replaces both
-        plan slots' resolutions)."""
+        """Each s2d/im2col stage must be a 3x3 stride-1 conv immediately
+        followed by a 2x2 stride-2 maxpool, with neither block
+        route/shortcut-referenced or the feature tap (the fused output
+        replaces both plan slots' resolutions)."""
         referenced = set()
         for info in self._plan:
             referenced.update(info.get("layers", ()))
             if "frm" in info:
                 referenced.add(info["frm"])
-        for i in self.s2d_stages:
+        for i in self.s2d_stages + self.im2col_stages:
             info, nxt = self._plan[i], self._plan[i + 1]
             ok = (info["type"] == "convolutional" and info["size"] == 3
                   and info["stride"] == 1 and nxt["type"] == "maxpool"
@@ -349,7 +381,27 @@ class Darknet:
         for i, info in enumerate(self._plan):
             t = info["type"]
             p = params[i]
-            if t == "convolutional" and ("w2" in p or "q2" in p):
+            if t == "convolutional" and "wi" in p:
+                # im2col-fused conv+pool stage (see im2col_stem_weight):
+                # 16 spatial slices -> one full-lane matmul -> phase-max
+                xin = outputs[-1] if outputs else images
+                dt = _layer_dtype(i)
+                if collect_act_stats:
+                    act_absmax[i] = jnp.max(jnp.abs(xin)).astype(
+                        jnp.float32)
+                n_, h_, w_, _ = xin.shape
+                xp = jnp.pad(xin, ((0, 0), (1, 1), (1, 1), (0, 0)))
+                z = jnp.concatenate(
+                    [xp[:, dy:dy + h_:2, dx:dx + w_:2, :]
+                     for dy in range(4) for dx in range(4)], -1)
+                y = jnp.einsum("nhwk,kd->nhwd", z.astype(dt),
+                               p["wi"].astype(dt))
+                x = y.reshape(n_, h_ // 2, w_ // 2, 4,
+                              info["filters"]).max(3)
+                x = x + p["b"]
+                if info["act"] == "leaky":
+                    x = jnp.where(x > 0, x, 0.1 * x)
+            elif t == "convolutional" and ("w2" in p or "q2" in p):
                 # space-to-depth-fused conv+pool stage (see s2d_conv_weight)
                 z = space_to_depth(outputs[-1] if outputs else images)
                 x = _conv_maybe_int8(i, p, z, "w2", 1, 1)
@@ -386,9 +438,11 @@ class Darknet:
                 if info["act"] == "leaky":
                     x = jnp.where(x > 0, x, 0.1 * x)
             elif t == "maxpool":
-                if i - 1 in self.s2d_stages and (
-                        "w2" in params[i - 1] or "q2" in params[i - 1]):
-                    x = outputs[-1]   # pool already fused into the s2d conv
+                fused = (i - 1 in self.s2d_stages and (
+                    "w2" in params[i - 1] or "q2" in params[i - 1])) or (
+                    i - 1 in self.im2col_stages and "wi" in params[i - 1])
+                if fused:
+                    x = outputs[-1]   # pool already fused into the stage
                 else:
                     x = _maxpool(outputs[-1], info["size"], info["stride"])
             elif t == "upsample":
@@ -459,6 +513,21 @@ class Darknet:
                 fp = {k: v.astype(dtype) for k, v in fp.items()}
             folded_params.append(fp)
         return folded_params, folded_state
+
+    def fold_im2col(self, folded_params):
+        """Rewrite the ``im2col_stages`` convs of a BN-folded param tree
+        into patch-matmul form ({"wi", "b"} slots consumed by ``apply``).
+        Inference-path transform; exact (see im2col_stem_weight)."""
+        out = list(folded_params)
+        for i in self.im2col_stages:
+            p = folded_params[i]
+            if "wi" in p:
+                continue
+            if "b" not in p:
+                raise ValueError("fold_batchnorm must run before "
+                                 "fold_im2col")
+            out[i] = {"wi": im2col_stem_weight(p["w"]), "b": p["b"]}
+        return out
 
     def fold_s2d(self, folded_params):
         """Rewrite the ``s2d_stages`` convs of a BN-folded param tree into
