@@ -90,6 +90,14 @@ def im2col_stem_weight(w):
     (the s2d transpose that made fold_s2d lose end-to-end) — and the
     matmul contracts over 16*C lanes (48 for the 3-channel stem vs 3:
     the stage-0 conv otherwise runs at ~2% MXU lane utilization).
+
+    MEASURED NEGATIVE RESULT (BENCH_DETAILS fusion_fwd_*_im2col_*): the
+    XLA lowering of the stride-2 spatial slices + concat is ~7x slower
+    than the plain stage end-to-end (443 vs 3279 fps b32) — sublane-
+    granular strided reads are their own transpose pathology. Kept as an
+    exact, tested opt-in and as documentation that the stem's lane
+    problem needs a Pallas kernel (fused conv+pool with VMEM-resident
+    patches), not an XLA-level layout rewrite.
     """
     k, _, cin, cout = w.shape
     assert k == 3, "im2col stem transform expects 3x3 kernels"
