@@ -47,6 +47,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="evaluate on N synthetic scenes (seed 777) "
                         "instead of a dataset root")
+    p.add_argument("--serving", default="f32",
+                   help="fusion only: serving preset to evaluate the "
+                        "accuracy of (cli._common.SERVING_PRESETS; "
+                        "int8_acts calibrates on the first eval batches)")
     return p.parse_args(argv)
 
 
@@ -63,8 +67,12 @@ def main(argv=None):
         names = load_classes(args.class_names)
 
     if args.what == "fusion":
+        from millieye_tpu.cli._common import serving_overrides
+        s2d, hi_prec, hi_store, over = serving_overrides(args.serving)
         model, params, state = build_fusion(
-            args, conf_thresh=args.conf_thresh, nms_thresh=args.nms_thresh)
+            args, s2d_stages=s2d, hi_prec_stages=hi_prec,
+            hi_prec_store=hi_store, conf_thresh=args.conf_thresh,
+            nms_thresh=args.nms_thresh, **over)
         params, state = _load_fusion(model, params, state, args.weights)
         if args.synthetic:
             from millieye_tpu.data.synthetic import SyntheticScenes
@@ -76,6 +84,14 @@ def main(argv=None):
                                          args.test_list)
         loader = DataLoader(dataset, args.batch_size,
                             PaddedCollate(args.img_size))
+        if args.serving != "f32":
+            from millieye_tpu.runtime.engine import fold_for_serving
+            act_absmax = None
+            if model.cfg.acts_int8:
+                act_absmax = _calibrate_on_eval_set(model, params, state,
+                                                    loader, args.img_size)
+            params, state = fold_for_serving(model, params, state,
+                                             act_absmax)
         result = harness.evaluate_fusion(
             model, params, state, _batches(loader, args.img_size),
             mode=args.model_mode, iou_thresh=args.iou_thresh)
@@ -118,6 +134,25 @@ def main(argv=None):
         if out:
             print("pr-curve:", out)
     return m_ap
+
+
+def _calibrate_on_eval_set(model, params, state, loader, img_size,
+                           n_batches=4):
+    """Int8-activation calibration over the first eval batches (folded
+    graph, same transforms as serving)."""
+    import jax.numpy as jnp
+    from millieye_tpu.ops.quantize import calibrate_act_scales
+
+    fp, fs = model.darknet.fold_batchnorm(params["darknet"],
+                                          state["darknet"])
+    if model.darknet.s2d_stages:
+        fp = model.darknet.fold_s2d(fp)
+    images = []
+    for i, b in enumerate(loader):
+        images.append(jnp.asarray(b["images"]))
+        if i + 1 >= n_batches:
+            break
+    return calibrate_act_scales(model.darknet, fp, fs, images)
 
 
 def _load_fusion(model, params, state, path):

@@ -42,6 +42,35 @@ def _sanitize_radar(points, pmask, radar_boxes, radar_mask):
     return points, pmask, rb, radar_mask
 
 
+def fold_for_serving(model, params, state, act_absmax=None):
+    """Trained (raw) weights -> the model's serving representation:
+    BN folded (cast to the compute dtype, hi-prec stages kept f32),
+    s2d/im2col stem transforms applied, int8 weight/activation
+    quantization per the FusionConfig. Shared by FusionEngine and the
+    evaluate CLI's ``--serving`` presets."""
+    cast = (jnp.dtype(model.cfg.compute_dtype)
+            if model.cfg.compute_dtype != "float32" else None)
+    fp, fs = model.darknet.fold_batchnorm(params["darknet"],
+                                          state["darknet"], dtype=cast)
+    if model.darknet.s2d_stages:
+        fp = model.darknet.fold_s2d(fp)
+    if getattr(model.darknet, "im2col_stages", ()):
+        fp = model.darknet.fold_im2col(fp)
+    if model.cfg.weights_int8:
+        from millieye_tpu.ops.quantize import quantize_darknet
+        kw = {}
+        if model.cfg.acts_int8:
+            if act_absmax is None:
+                raise ValueError(
+                    "acts_int8 serving needs act_absmax from "
+                    "ops.quantize.calibrate_act_scales (run on the "
+                    "folded/s2d graph over representative frames)")
+            kw = dict(act_absmax=act_absmax,
+                      act_skip=model.darknet.act_int8_skip)
+        fp = quantize_darknet(fp, **kw)
+    return dict(params, darknet=fp), dict(state, darknet=fs)
+
+
 class FusionEngine:
     """Owns a FusionNetwork + weights; exposes one jit'd frame step."""
 
@@ -50,27 +79,8 @@ class FusionEngine:
                  act_absmax=None):
         self.model = model
         if fold_bn:
-            cast = (jnp.dtype(model.cfg.compute_dtype)
-                    if model.cfg.compute_dtype != "float32" else None)
-            fp, fs = model.darknet.fold_batchnorm(params["darknet"],
-                                                  state["darknet"],
-                                                  dtype=cast)
-            if model.darknet.s2d_stages:
-                fp = model.darknet.fold_s2d(fp)
-            if model.cfg.weights_int8:
-                from millieye_tpu.ops.quantize import quantize_darknet
-                kw = {}
-                if model.cfg.acts_int8:
-                    if act_absmax is None:
-                        raise ValueError(
-                            "acts_int8 serving needs act_absmax from "
-                            "ops.quantize.calibrate_act_scales (run on the "
-                            "folded/s2d graph over representative frames)")
-                    kw = dict(act_absmax=act_absmax,
-                              act_skip=model.darknet.act_int8_skip)
-                fp = quantize_darknet(fp, **kw)
-            params = dict(params, darknet=fp)
-            state = dict(state, darknet=fs)
+            params, state = fold_for_serving(model, params, state,
+                                             act_absmax)
         self.params = params
         self.state = state
         self.frame_size = frame_size

@@ -60,6 +60,28 @@ def test_serving_overrides_shape():
                                     "int8", "int8_acts"}
 
 
+def test_evaluate_cli_serving(tmp_path):
+    """evaluate --what fusion --serving: preset build + fold_for_serving
+    + eval-set calibration path, end to end on synthetic scenes."""
+    import jax
+    from millieye_tpu.cli import evaluate
+    from millieye_tpu.cli._common import build_fusion
+    from millieye_tpu.io.checkpoint import save_checkpoint
+
+    class A:  # minimal args_cfg for build_fusion
+        model_def = None
+        img_size = 128
+
+    model, params, state = build_fusion(A())
+    ckpt = str(tmp_path / "fusion.npz")
+    save_checkpoint(ckpt, {"params": params, "state": state})
+    m_ap = evaluate.main([
+        "--what", "fusion", "--weights", ckpt, "--synthetic", "8",
+        "--img_size", "128", "--batch_size", "4",
+        "--conf_thresh", "0.05", "--serving", "int8_acts"])
+    assert isinstance(m_ap, float)
+
+
 @pytest.mark.parametrize("preset", ["bf16_f16stem", "int8_acts"])
 def test_demo_cli_serving_end_to_end(tmp_path, preset):
     from millieye_tpu.cli import demo
