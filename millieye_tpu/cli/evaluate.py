@@ -51,7 +51,31 @@ def parse_args(argv=None):
                    help="fusion only: serving preset to evaluate the "
                         "accuracy of (cli._common.SERVING_PRESETS; "
                         "int8_acts calibrates on the first eval batches)")
+    p.add_argument("--device_cache", action="store_true",
+                   help="stage the whole eval set on device once "
+                        "(data/device_cache.py) — one H2D put instead "
+                        "of per-batch transfers")
     return p.parse_args(argv)
+
+
+def _make_loader(dataset, args, radar=False):
+    kw = dict(max_targets=64)
+    if radar:
+        kw.update(max_radar=32, max_points=256)
+    if args.device_cache:
+        if len(dataset) % args.batch_size:
+            # the cache loader pads the tail batch by repeating rows,
+            # which would double-count those images in mAP
+            print(f"--device_cache needs len(dataset) % batch == 0 "
+                  f"({len(dataset)} % {args.batch_size}); using the "
+                  f"host loader")
+        else:
+            from millieye_tpu.data.device_cache import DeviceCache
+            cache = DeviceCache.build(dataset,
+                                      PaddedCollate(args.img_size, **kw))
+            return cache.loader(args.batch_size)
+    return DataLoader(dataset, args.batch_size,
+                      PaddedCollate(args.img_size, **kw))
 
 
 def _batches(loader, img_size):
@@ -82,8 +106,7 @@ def main(argv=None):
             dataset = RadarFusionDataset(args.data_root, "test",
                                          tuple(args.illumination),
                                          args.test_list)
-        loader = DataLoader(dataset, args.batch_size,
-                            PaddedCollate(args.img_size))
+        loader = _make_loader(dataset, args, radar=True)
         if args.serving != "f32":
             from millieye_tpu.runtime.engine import fold_for_serving
             act_absmax = None
@@ -105,8 +128,7 @@ def main(argv=None):
             dataset = ExDarkDataset(args.exdark_root, "test")
         else:
             dataset = ImageListDataset(args.train_list)
-        loader = DataLoader(dataset, args.batch_size,
-                            PaddedCollate(args.img_size))
+        loader = _make_loader(dataset, args)
         if args.what == "yolo":
             darknet = build_darknet(args.model_def, img_size=args.img_size)
             import jax
