@@ -47,7 +47,9 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="evaluate on N synthetic scenes (seed 777) "
                         "instead of a dataset root")
+    from millieye_tpu.cli._common import SERVING_PRESETS
     p.add_argument("--serving", default="f32",
+                   choices=sorted(SERVING_PRESETS),
                    help="fusion only: serving preset to evaluate the "
                         "accuracy of (cli._common.SERVING_PRESETS; "
                         "int8_acts calibrates on the first eval batches)")
@@ -63,17 +65,12 @@ def _make_loader(dataset, args, radar=False):
     if radar:
         kw.update(max_radar=32, max_points=256)
     if args.device_cache:
-        if len(dataset) % args.batch_size:
-            # the cache loader pads the tail batch by repeating rows,
-            # which would double-count those images in mAP
-            print(f"--device_cache needs len(dataset) % batch == 0 "
-                  f"({len(dataset)} % {args.batch_size}); using the "
-                  f"host loader")
-        else:
-            from millieye_tpu.data.device_cache import DeviceCache
-            cache = DeviceCache.build(dataset,
-                                      PaddedCollate(args.img_size, **kw))
-            return cache.loader(args.batch_size)
+        # tail batches are padded to the fixed shape and trimmed by the
+        # harness via batch["_n"] — no divisibility requirement
+        from millieye_tpu.data.device_cache import DeviceCache
+        cache = DeviceCache.build(dataset,
+                                  PaddedCollate(args.img_size, **kw))
+        return cache.loader(args.batch_size)
     return DataLoader(dataset, args.batch_size,
                       PaddedCollate(args.img_size, **kw))
 

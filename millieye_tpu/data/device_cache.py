@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 _F16_KEYS = ("images",)
-_HOST_KEYS = ("paths", "frame_size")
+_HOST_KEYS = ("paths", "frame_size", "brightness")
 
 
 @functools.partial(jax.jit, static_argnames=("f16_keys",))
@@ -62,13 +62,17 @@ class DeviceCache:
     @classmethod
     def build(cls, dataset, collate, device=None, image_dtype=np.float16):
         """Collate the whole dataset once (host) and put it on device."""
-        cols, paths = {}, []
+        cols, paths, bright = {}, [], []
         step = 64
         for lo in range(0, len(dataset), step):
             items = [dataset.get(i)
                      for i in range(lo, min(lo + step, len(dataset)))]
             b = collate(items)
             paths.extend(b.get("paths", ()))
+            # per-item brightness stays HOST-side so auto-mode selection
+            # never fetches from device (harness.evaluate_fusion)
+            bright.extend(np.asarray(b["images"],
+                                     np.float32).mean(axis=(1, 2, 3)))
             for k, v in b.items():
                 if k in _HOST_KEYS:
                     continue
@@ -76,7 +80,7 @@ class DeviceCache:
                     v = np.asarray(v, image_dtype)
                 cols.setdefault(k, []).append(v)
         arrays = {k: np.concatenate(v, 0) for k, v in cols.items()}
-        meta = {"paths": paths}
+        meta = {"paths": paths, "brightness": np.asarray(bright, np.float32)}
         # frame_size is per-dataset constant (collate takes item[0]'s)
         if hasattr(dataset, "get") and "frame_size" in dataset.get(0):
             meta["frame_size"] = dataset.get(0)["frame_size"]
@@ -85,7 +89,13 @@ class DeviceCache:
     def __len__(self):
         return self.n
 
-    def loader(self, batch_size, shuffle=False, seed=0, drop_last=True):
+    def loader(self, batch_size, shuffle=False, seed=0, drop_last=None):
+        """``drop_last=None`` resolves to ``shuffle``: training loaders
+        (shuffle=True) keep full fixed batches, eval loaders keep the
+        tail (padded to the fixed shape, true count in ``batch["_n"]``)
+        so no sample is silently skipped."""
+        if drop_last is None:
+            drop_last = shuffle
         return _CacheLoader(self, batch_size, shuffle, seed, drop_last)
 
 
@@ -113,8 +123,9 @@ class _CacheLoader:
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
         f16 = tuple(k for k in _F16_KEYS if k in self.cache.arrays)
         fs = self.cache.host_meta.get("frame_size")
+        bright = self.cache.host_meta.get("brightness")
         for lo in range(0, n, b):
-            chunk = idx[lo:lo + b]
+            chunk = true_chunk = idx[lo:lo + b]
             if len(chunk) < b:
                 if self.drop_last:
                     return
@@ -125,6 +136,8 @@ class _CacheLoader:
                     [chunk, np.full(b - len(chunk), chunk[-1])])
             batch = dict(_gather(self.cache.arrays, jnp.asarray(chunk), f16))
             batch["_n"] = min(b, n - lo)
+            if bright is not None:
+                batch["brightness"] = float(bright[true_chunk].mean())
             if fs is not None:
                 batch["frame_size"] = fs
             yield batch

@@ -69,6 +69,10 @@ class PaddedCollate:
         batch = {
             "paths": [it["path"] for it in items],
             "images": images,
+            # host-side batch brightness for auto-mode selection
+            # (test_fusion.py:24-32 img.mean() < 0.1) — computed here so
+            # eval never pays a per-batch device->host fetch for it
+            "brightness": float(images.mean()),
         }
         t = [self._pad(it["targets"], self.max_targets, 5) for it in items]
         batch["targets"] = np.stack([x[0] for x in t])
@@ -136,6 +140,19 @@ class DataLoader:
             # errors, run_mp.py:159-160 — don't).
             import collections
             from concurrent.futures import ThreadPoolExecutor
+            def put_checked(obj):
+                # timeout-put that rechecks stop: a consumer that exits
+                # its iteration early (e.g. a calibration loop's break)
+                # must not leave this thread blocked on a full queue for
+                # the life of the process
+                while not stop.is_set():
+                    try:
+                        out_q.put(obj, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
             try:
                 with ThreadPoolExecutor(self.num_workers) as ex:
                     window = collections.deque()
@@ -155,11 +172,12 @@ class DataLoader:
                             return
                         items = window.popleft().result()
                         submit_next()
-                        out_q.put(self.collate(items))
+                        if not put_checked(self.collate(items)):
+                            return
             except BaseException as e:          # noqa: BLE001
                 failure.append(e)
             finally:
-                out_q.put(None)
+                put_checked(None)
 
         worker = threading.Thread(target=produce, daemon=True)
         worker.start()

@@ -26,13 +26,23 @@ from millieye_tpu.eval.metrics import get_batch_statistics, ap_per_class
 from millieye_tpu.ops.nms import batched_nms
 
 
-def _unpad(boxes, valid):
-    """[B, K, 7] + [B, K] -> list of [n_i, 7] numpy arrays (None if empty)."""
+def _unpad(boxes, valid, n=None):
+    """[B, K, 7] + [B, K] -> list of [n_i, 7] numpy arrays (None if empty).
+
+    ``n`` trims a tail batch that was padded to the fixed batch shape by
+    repeating rows (DeviceCache loader, ``batch["_n"]``) — without it the
+    duplicated samples would be double-counted in mAP."""
     boxes, valid = np.asarray(boxes), np.asarray(valid)
+    if n is not None:
+        boxes, valid = boxes[:n], valid[:n]
     out = []
     for b, v in zip(boxes, valid):
         out.append(b[v] if v.any() else None)
     return out
+
+
+def _batch_n(batch):
+    return int(batch.get("_n", np.shape(batch["tmask"])[0]))
 
 
 def _targets_to_eval(targets, tmask, img_size):
@@ -80,11 +90,13 @@ def evaluate_yolo(darknet, params, state, batches, conf_thresh=0.5,
     stats, target_cls = [], []
     for batch in batches:
         images = jnp.asarray(batch["images"])
+        n = _batch_n(batch)
         det, valid = step(params, state, images)
-        targets = _targets_to_eval(batch["targets"], batch["tmask"],
+        targets = _targets_to_eval(np.asarray(batch["targets"])[:n],
+                                   np.asarray(batch["tmask"])[:n],
                                    images.shape[1])
         target_cls.extend(targets[:, 1].tolist())
-        stats.extend(get_batch_statistics(_unpad(det, valid), targets,
+        stats.extend(get_batch_statistics(_unpad(det, valid, n), targets,
                                           iou_thresh))
     return _finish(stats, target_cls)
 
@@ -100,19 +112,27 @@ def evaluate_refine(model, params, state, batches, iou_thresh=0.5):
     stats, target_cls = [], []
     for batch in batches:
         images = jnp.asarray(batch["images"])
+        n = _batch_n(batch)
         boxes, valid = step(params, state, images)
-        targets = _targets_to_eval(batch["targets"], batch["tmask"],
+        targets = _targets_to_eval(np.asarray(batch["targets"])[:n],
+                                   np.asarray(batch["tmask"])[:n],
                                    images.shape[1])
         target_cls.extend(targets[:, 1].tolist())
-        stats.extend(get_batch_statistics(_unpad(boxes, valid), targets,
+        stats.extend(get_batch_statistics(_unpad(boxes, valid, n), targets,
                                           iou_thresh))
     return _finish(stats, target_cls)
 
 
-def auto_mode(images):
+def auto_mode(images, brightness=None):
     """mode 3 selection: dark frames -> millieye, bright -> yolo
-    (test_fusion.py:24-32: img.mean() < 0.1)."""
-    return 0 if float(jnp.mean(images)) < 0.1 else 1
+    (test_fusion.py:24-32: img.mean() < 0.1).
+
+    ``brightness``: host-side batch mean (collate/DeviceCache provide it)
+    — preferred, since ``jnp.mean`` + fetch costs a host<->device relay
+    switch (~40 ms) per batch."""
+    if brightness is None:
+        brightness = float(jnp.mean(images))
+    return 0 if brightness < 0.1 else 1
 
 
 def evaluate_fusion(model, params, state, batches, mode=0, iou_thresh=0.5,
@@ -142,15 +162,18 @@ def evaluate_fusion(model, params, state, batches, mode=0, iou_thresh=0.5,
     stats, target_cls = [], []
     for batch in batches:
         images = put(batch["images"])
-        m = auto_mode(images) if mode == 3 else mode
+        n = _batch_n(batch)
+        m = (auto_mode(images, batch.get("brightness"))
+             if mode == 3 else mode)
         boxes, valid = step(params, state, images,
                             put(batch["radar_maps"]),
                             put(batch["radar_boxes"]),
                             put(batch["rmask"]), m)
-        targets = _targets_to_eval(batch["targets"], batch["tmask"],
+        targets = _targets_to_eval(np.asarray(batch["targets"])[:n],
+                                   np.asarray(batch["tmask"])[:n],
                                    images.shape[1])
         target_cls.extend(targets[:, 1].tolist())
-        stats.extend(get_batch_statistics(_unpad(boxes, valid), targets,
+        stats.extend(get_batch_statistics(_unpad(boxes, valid, n), targets,
                                           iou_thresh))
     return _finish(stats, target_cls)
 

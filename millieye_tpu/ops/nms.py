@@ -144,7 +144,11 @@ def batched_nms(
     identical keep set.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # the Pallas kernel holds the [K, K] IoU matrix in VMEM — fine at
+        # the serving K=512 (1 MB), not at the untruncated training K
+        # (2535 -> 26 MB); large K falls back to the XLA fixpoint
+        use_pallas = (jax.default_backend() == "tpu"
+                      and min(pre_top_k, pred.shape[1]) <= 1024)
 
     def prep(p):
         xyxy = xywh_to_xyxy(p[:, :4])
@@ -173,3 +177,40 @@ def batched_nms(
             lambda b, vv: nms_keep_mask(b, vv, iou_thresh, plus_one=False)
         )(shifted, v)
     return jax.vmap(lambda r, kp: _compact(r, kp, max_det))(rows, keep)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("conf_thresh", "iou_thresh", "max_det", "pre_top_k"),
+)
+def pre_top_k_sufficient(pred, conf_thresh, iou_thresh=0.5, max_det=200,
+                         pre_top_k=512):
+    """[B] bool: whether truncating to the top ``pre_top_k`` objectness
+    rows provably leaves ``batched_nms``'s final top-``max_det`` output
+    unchanged vs running NMS on ALL conf-passing rows (the reference
+    applies no pre-top-k, utils/utils.py:337-378).
+
+    Greedy suppression flows only from higher- to lower-ranked rows, so
+    a truncated row can never suppress a surviving one; truncation is
+    exact iff (a) at most ``pre_top_k`` rows pass the confidence filter,
+    or (b) at least ``max_det`` of the top ``pre_top_k`` rows survive
+    suppression (every later row would rank below the cut anyway).
+    Diagnostic for picking ``FusionConfig.pre_nms_top_k`` at a given
+    operating point (e.g. the stage-3 training ``conf_thresh=0.01``,
+    module3 train.py:106-107) — not part of the serving graph.
+    """
+    def one(p):
+        obj = p[:, 4]
+        n_pass = jnp.sum(obj >= conf_thresh)
+        score = jnp.where(obj >= conf_thresh, obj, -jnp.inf)
+        k = min(pre_top_k, p.shape[0])
+        top_s, idx = lax.top_k(score, k)
+        v = jnp.isfinite(top_s)
+        cls = p[:, 5:][idx]
+        class_pred = jnp.argmax(cls, axis=-1).astype(p.dtype)
+        shifted = xywh_to_xyxy(p[:, :4][idx]) + (
+            class_pred * _CLASS_OFFSET)[:, None]
+        keep = nms_keep_mask(shifted, v, iou_thresh, plus_one=False)
+        return (n_pass <= k) | (jnp.sum(keep) >= max_det)
+
+    return jax.vmap(one)(pred)

@@ -6,9 +6,9 @@ XLA-level rewrites fail end-to-end — s2d loses its per-stage win to
 lane-dimension transposes, the im2col patch matmul is 7x slower
 (strided-slice lowering). The only way to win is to keep the full-res
 conv output OUT of HBM entirely: this kernel reads the padded input once,
-builds the 27-lane tap patches in VMEM band by band, runs one
-[rows*W, 9C] x [9C, D] MXU dot per band, applies bias+leaky and the 2x2
-pool in registers, and writes only the pooled half-res result.
+builds tap patches in VMEM band by band, contracts them on the MXU,
+applies bias+leaky and the 2x2 pool in registers, and writes only the
+pooled half-res result.
 
 HBM traffic per image (416x416x3 f32 -> 208x208x16): read 2.1 MB + write
 2.8 MB, vs the plain stage's ~13 MB full-res intermediate round trip.
@@ -16,15 +16,27 @@ HBM traffic per image (416x416x3 f32 -> 208x208x16): read 2.1 MB + write
 ``fused_stem(x, w, b)`` == ``maxpool2(leaky(conv3x3(x) + b))`` exactly
 (tested vs the XLA composition; CPU/tests run interpret mode).
 
-STATUS (round 2): interpret-mode exact; Mosaic (libtpu of 2026-08)
-rejects both spellings of the in-VMEM patch build on real hardware —
-lane-dim ``concatenate`` of 3-channel views ("result/input offset
-mismatch on non-concat dimension") and ``stack`` + merged-minor
-``reshape`` [2th, W, 9, C] -> [2th*W, 27] ("infer-vector-layout:
-unsupported shape cast"). A working kernel needs the stencil layout
-(W in lanes, weights stationary, per-tap sublane rotations) rather than
-an im2col dot — round-3 work; the analysis and exactness harness here
-are the groundwork.
+Variant history (Mosaic = the TPU Pallas compiler, libtpu of 2026-08):
+
+* ``im2col`` (round 2): one [2th*W, 9C] x [9C, D] dot per band. Mosaic
+  rejects both patch-build spellings — lane-dim ``concatenate`` of the
+  nine 3-channel shifted views ("result/input offset mismatch on
+  non-concat dimension": the v-shifts live in the sublane (W) dim, so
+  the pieces carry sublane offsets 0/1/2 and no single result layout
+  matches), and ``stack`` + merged-minor ``reshape``
+  [2th, W, 9, C] -> [2th*W, 27] ("infer-vector-layout: unsupported
+  shape cast"). Kept for interpret-mode reference.
+* ``vconcat`` (round 3, default): group taps by v — for a fixed
+  horizontal shift v, the three u-pieces ``x[u:u+2th, v:v+W, :]``
+  differ only in the LEADING (h) dim, so they share one sublane offset
+  and the lane-dim concat is layout-consistent. Three [2th*W, 3C] x
+  [3C, D] dots accumulate the conv. 3x the MXU row-passes of the ideal
+  single dot, but it compiles.
+* ``vroll``: ``vconcat`` with ``pltpu.roll`` pre-shifting each v-slice
+  to sublane offset 0 — fallback if offset-v concat still trips Mosaic.
+
+Reference role: the cuDNN fused conv+pool stem blocks,
+``module3_our_dataset/yolov3/models.py:12-79``.
 """
 from __future__ import annotations
 
@@ -34,21 +46,28 @@ import jax
 import jax.numpy as jnp
 
 
-def _stem_kernel(x_ref, w_ref, b_ref, o_ref, *, th, w_out, cin, cout,
-                 n_bands):
+def _pool_store(y, o_ref, *, i, th, w_in, w_out, cout):
+    """[2th, W, D] pre-pool band -> bias'd/pooled [th, W/2, D] store."""
+    # 2x2 pool: row pairs via a leading split, column pairs via a
+    # sublane-adjacent split (both layout-preserving reshapes: the minor
+    # lane dim D is untouched)
     from jax.experimental import pallas as pl
 
-    wm = w_ref[...]                       # [9*C, D], tap-major
+    y = y.reshape(th, 2, w_in, cout).max(1)       # [th, W, D]
+    y = y.reshape(th, w_out, 2, cout).max(2)      # [th, W/2, D]
+    o_ref[pl.dslice(th * i, th)] = y.astype(o_ref.dtype)
+
+
+def _stem_kernel_im2col(x_ref, w_ref, b_ref, o_ref, *, th, w_out, cin,
+                        cout, n_bands):
+    from jax.experimental import pallas as pl
+
+    wm = w_ref[...]                       # [9*C, D], tap-major (u, v, c)
     bias = b_ref[...]                     # [D]
     w_in = 2 * w_out                      # unpadded input width
 
     def band(i, _):
-        # input rows for output band i: 2*i*th .. 2*i*th + 2*th+1 (+pad)
         x = x_ref[pl.dslice(2 * th * i, 2 * th + 2)]
-        # 3x3 tap patches: 9 shifted views stacked into a new minor dim
-        # (lane-dim CONCAT of 3-channel pieces hits Mosaic "offset
-        # mismatch on non-concat dimension"; stack + merged-minor
-        # reshape is the layout-friendly spelling)
         cols = [x[u:u + 2 * th, v:v + w_in, :]
                 for u in range(3) for v in range(3)]
         z = jnp.stack(cols, axis=2)                   # [2th, W, 9, C]
@@ -58,25 +77,196 @@ def _stem_kernel(x_ref, w_ref, b_ref, o_ref, *, th, w_out, cin, cout,
             preferred_element_type=jnp.float32)       # [2th*W, D]
         y = y.reshape(2 * th, w_in, cout) + bias
         y = jnp.where(y > 0, y, 0.1 * y)
-        # 2x2 pool: row pairs via a leading split, column pairs via a
-        # minor-adjacent split (both Mosaic-friendly reshapes)
-        y = y.reshape(th, 2, w_in, cout).max(1)       # [th, W, D]
-        y = y.reshape(th, w_out, 2, cout).max(2)      # [th, W/2, D]
-        o_ref[pl.dslice(th * i, th)] = y.astype(o_ref.dtype)
+        _pool_store(y, o_ref, i=i, th=th, w_in=w_in, w_out=w_out,
+                    cout=cout)
         return 0
 
     jax.lax.fori_loop(0, n_bands, band, 0)
 
 
+def _stem_kernel_vgroup(x_ref, w_ref, b_ref, o_ref, *, th, w_out, cin,
+                        cout, n_bands, roll_v):
+    """Per-v grouped patches: 3 accumulated dots of K=3*cin.
+
+    For fixed v all three u-pieces share sublane offset v (u indexes the
+    leading dim), so the lane concat has a consistent layout; with
+    ``roll_v`` the band is sublane-rotated so every group sits at
+    offset 0.
+    """
+    from jax.experimental import pallas as pl
+
+    bias = b_ref[...]                     # [D]
+    w_in = 2 * w_out
+
+    def band(i, _):
+        x = x_ref[pl.dslice(2 * th * i, 2 * th + 2)]  # [2th+2, W+2, C]
+        acc = jnp.zeros((2 * th * w_in, cout), jnp.float32)
+        for v in range(3):
+            if roll_v and v:
+                from jax.experimental.pallas import tpu as pltpu
+                # cyclic left-shift by v (roll requires shift >= 0); the
+                # wrapped tail lands beyond the [0:w_in] slice
+                xv, vv = pltpu.roll(x, w_in + 2 - v, 1), 0
+            else:
+                xv, vv = x, v
+            zv = jnp.concatenate(
+                [xv[u:u + 2 * th, vv:vv + w_in, :] for u in range(3)],
+                axis=2)                               # [2th, W, 3C]
+            acc = acc + jax.lax.dot_general(
+                zv.reshape(2 * th * w_in, 3 * cin),
+                w_ref[3 * cin * v:3 * cin * (v + 1)],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [2th*W, D]
+        y = acc.reshape(2 * th, w_in, cout) + bias
+        y = jnp.where(y > 0, y, 0.1 * y)
+        _pool_store(y, o_ref, i=i, th=th, w_in=w_in, w_out=w_out,
+                    cout=cout)
+        return 0
+
+    jax.lax.fori_loop(0, n_bands, band, 0)
+
+
+def _stem_kernel_planar(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref, *,
+                        band, w_pad, cin, cout, k_pad, n_bands):
+    """Planar stencil: C-major input, W in lanes, taps in sublanes.
+
+    Every VMEM buffer is lane-dense (the NHWC spelling lane-pads C=3 to
+    128 and OOMs VMEM at 86 MB for one 416px image). Per band of
+    ``band`` pre-pool rows:
+
+    * 9*C slab copies build the patch scratch S[(c,u,v), r, w] =
+      x[c, r0+r+u, w+v] — leading-dim writes of lane-rolled row slabs,
+      no lane concat or minor reshape anywhere;
+    * one transposed MXU dot A[D, K] @ S[K, band*W] does the whole conv
+      (output channels in sublanes, pixels in lanes — nothing wasted
+      when D < 128, unlike the [pixels, K] orientation);
+    * 2x2 pool: row pairs become adjacent W-lane halves after an
+      aligned minor split; column pairs via lane-roll + max; the even-
+      column select is a one-hot matmul (strided lane slices don't
+      lower well — a selection matrix rides the MXU instead).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    a_mat = a_ref[...]                    # [D, K_pad] (zero-padded cols)
+    bias = b_ref[...]                     # [D, 1]
+    psel = p_ref[...]                     # [W_pad, W_pad//2] one-hot
+    half = band // 2
+    if k_pad > 9 * cin:
+        # zero the K-pad tail once: A's pad columns are zero, but
+        # 0 * uninitialized(NaN) would still poison the dot
+        s_ref[9 * cin:] = jnp.zeros((k_pad - 9 * cin, band, w_pad),
+                                    jnp.float32)
+
+    def band_fn(i, _):
+        # dynamic sublane offsets must be provably 8-aligned: load an
+        # aligned (band+8)-row block once per channel and take the
+        # +u tap shifts as static register slices
+        r0 = pl.multiple_of(band * i, 8)
+        for c in range(cin):
+            big = x_ref[c, pl.dslice(r0, band + 8)]        # [band+8, W]
+            for u in range(3):
+                slab = big[u:u + band]                     # [band, W_pad]
+                for v in range(3):
+                    sv = slab if v == 0 else pltpu.roll(slab, w_pad - v, 1)
+                    s_ref[c * 9 + u * 3 + v] = sv
+        z = s_ref[...].reshape(k_pad, band * w_pad)
+        y = jax.lax.dot_general(
+            a_mat, z, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [D, band*W]
+        y = y + bias
+        y = jnp.where(y > 0, y, 0.1 * y)
+        y3 = y.reshape(cout, half, 2 * w_pad)
+        rmax = jnp.maximum(y3[:, :, :w_pad], y3[:, :, w_pad:])
+        cmax = jnp.maximum(rmax, pltpu.roll(rmax, w_pad - 1, 2))
+        pooled = jax.lax.dot_general(
+            cmax.reshape(cout * half, w_pad), psel,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [D*half, W/2]
+        o_ref[:, pl.dslice(half * i, half)] = pooled.reshape(
+            cout, half, w_pad // 2).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_bands, band_fn, 0)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("th", "interpret", "out_dtype"))
-def fused_stem(x, w, b, th=26, interpret=False, out_dtype=None):
+                   static_argnames=("band", "interpret", "out_dtype"))
+def fused_stem_planar(x, w, b, band=16, interpret=False, out_dtype=None):
+    """NHWC drop-in for ``fused_stem`` via the planar kernel.
+
+    [N, H, W, C] -> [N, H/2, W/2, D] == maxpool2(leaky(conv3x3(x)+b)).
+    ``band``: pre-pool rows per VMEM band (even, H % band == 0).
+    The wrapper pays one NHWC->planar transpose on the 2 MB input and
+    one planar->NHWC transpose on the pooled output — both tiny next to
+    the full-res intermediate the fused kernel keeps out of HBM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w_in, cin = x.shape
+    cout = w.shape[3]
+    assert w.shape[:3] == (3, 3, cin), w.shape
+    assert h % 2 == 0 and w_in % 2 == 0 and band % 2 == 0 \
+        and h % band == 0
+    out_dtype = out_dtype or x.dtype
+    w_pad = _round_up(w_in + 2, 128)
+    k_pad = _round_up(9 * cin, 8)
+
+    # rows padded 1 above + 7 below: the kernel loads aligned
+    # (band+8)-row blocks, so the last band reads 6 rows past the halo
+    xp = jnp.pad(x.astype(jnp.float32).transpose(0, 3, 1, 2),
+                 ((0, 0), (0, 0), (1, 7), (1, w_pad - w_in - 1)))
+    # A[d, c*9 + u*3 + v] = w[u, v, c, d]; zero K-pad columns make the
+    # scratch's uninitialized tail rows contribute nothing
+    a_mat = jnp.pad(w.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
+        cout, 9 * cin), ((0, 0), (0, k_pad - 9 * cin)))
+    row = jax.lax.broadcasted_iota(jnp.int32, (w_pad, w_pad // 2), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (w_pad, w_pad // 2), 1)
+    psel = (row == 2 * col).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _stem_kernel_planar, band=band, w_pad=w_pad, cin=cin, cout=cout,
+        k_pad=k_pad, n_bands=h // band)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((None, cin, h + 8, w_pad),
+                         lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, cout, h // 2, w_pad // 2),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, cout, h // 2, w_pad // 2),
+                                       out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((k_pad, band, w_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, a_mat, b.astype(jnp.float32).reshape(cout, 1), psel)
+    return out[:, :, :, :w_in // 2].transpose(0, 2, 3, 1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("th", "interpret", "out_dtype",
+                                    "variant"))
+def fused_stem(x, w, b, th=26, interpret=False, out_dtype=None,
+               variant="vconcat"):
     """[N, H, W, C] -> [N, H/2, W/2, D] == maxpool2(leaky(conv3x3(x)+b)).
 
     ``th``: output rows per VMEM band (H/2 % th == 0). Compute is f32 on
     the MXU regardless of input dtype (the stem is where low-precision
     STORES lose dark-frame contrast — see Darknet.hi_prec_stages);
     ``out_dtype`` sets the store dtype (default: x.dtype).
+    ``variant``: patch-build spelling — "vconcat" (default), "vroll",
+    or "im2col" (round-2 spelling, interpret-only on current Mosaic).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -88,11 +278,22 @@ def fused_stem(x, w, b, th=26, interpret=False, out_dtype=None):
     out_dtype = out_dtype or x.dtype
 
     xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)))
-    # tap-major weight matrix, matching the patch concat order (u, v, c)
-    wm = w.astype(jnp.float32).reshape(9 * cin, cout)
+    if variant == "im2col":
+        # tap-major (u, v, c) rows, matching the stacked patch order
+        wm = w.astype(jnp.float32).reshape(9 * cin, cout)
+        kernel = functools.partial(
+            _stem_kernel_im2col, th=th, w_out=w_in // 2, cin=cin,
+            cout=cout, n_bands=h // 2 // th)
+    elif variant in ("vconcat", "vroll"):
+        # v-major (v, u, c) rows, matching the per-v concat order
+        wm = w.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(
+            9 * cin, cout)
+        kernel = functools.partial(
+            _stem_kernel_vgroup, th=th, w_out=w_in // 2, cin=cin,
+            cout=cout, n_bands=h // 2 // th, roll_v=variant == "vroll")
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
 
-    kernel = functools.partial(_stem_kernel, th=th, w_out=w_in // 2,
-                               cin=cin, cout=cout, n_bands=h // 2 // th)
     return pl.pallas_call(
         kernel,
         grid=(n,),

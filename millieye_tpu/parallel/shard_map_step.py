@@ -64,10 +64,13 @@ def make_shardmap_fusion_step(model, tx, mesh, mode=0):
         new_bn["darknet"] = ts.state["darknet"]     # frozen-BN discipline
         updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
         params = optax.apply_updates(ts.params, updates)
-        # finite-guard at the state boundary (see train.steps._apply)
+        # finite-guard at the state boundary (see train.steps._apply) —
+        # opt_state included, or one NaN batch would poison Adam's
+        # moments for the rest of the run
         from millieye_tpu.train.steps import _keep_finite
         params = jax.tree.map(_keep_finite, params, ts.params)
         new_bn = jax.tree.map(_keep_finite, new_bn, ts.state)
+        opt_state = jax.tree.map(_keep_finite, opt_state, ts.opt_state)
         return TrainState(params, new_bn, opt_state, ts.step + 1), metrics
 
     return step

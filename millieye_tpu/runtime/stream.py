@@ -60,6 +60,30 @@ class StreamingPipeline:
         self.timer = StageTimer(("track", "device", "e2e"))
         self.mode = mode
         self.dropped = 0
+        self._stop = threading.Event()
+
+    def _put(self, item, drop_on_full):
+        """Queue put that can't wedge the producer: drop-on-full never
+        blocks (single producer); the lossless mode blocks with a timeout
+        and rechecks the stop flag so an early consumer exit
+        (``max_frames``) doesn't leave this thread parked on a full
+        queue holding decoded frames for the life of the process."""
+        if drop_on_full:
+            if self.q.full():
+                try:
+                    self.q.get_nowait()
+                    self.dropped += 1
+                except queue.Empty:
+                    pass
+            self.q.put(item)
+            return True
+        while not self._stop.is_set():
+            try:
+                self.q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     # -------------------------------------------------------------- producer
     def _produce(self, device_stage=True, drop_on_full=True):
@@ -100,14 +124,9 @@ class StreamingPipeline:
             item = (idx, frame, packed, sel)
             # drop-on-full back-pressure (run_mp.py:151-152); batched
             # windows instead block (lossless throughput mode)
-            if drop_on_full and self.q.full():
-                try:
-                    self.q.get_nowait()
-                    self.dropped += 1
-                except queue.Empty:
-                    pass
-            self.q.put(item)
-        self.q.put(None)
+            if not self._put(item, drop_on_full):
+                return
+        self._put(None, drop_on_full)
 
     # -------------------------------------------------------------- consumer
     def run(self, on_result=None, max_frames=None, inflight_depth=24):
@@ -224,16 +243,21 @@ class StreamingPipeline:
             n += k
             buf.clear()
 
-        while True:
-            item = self.q.get()
-            if item is None:
-                break
-            buf.append(item)
-            if len(buf) == window:
-                flush()
-            if max_frames and n + len(buf) >= max_frames:
-                break
-        flush()
+        self._stop.clear()
+        try:
+            while True:
+                item = self.q.get()
+                if item is None:
+                    break
+                buf.append(item)
+                if len(buf) == window:
+                    flush()
+                if max_frames and n + len(buf) >= max_frames:
+                    del buf[max(0, max_frames - n):]   # honor the cap
+                    break
+            flush()
+        finally:
+            self._stop.set()                # unblock the producer
         wall = time.perf_counter() - t_start
         report = dict(self.timer.report(), dropped=self.dropped,
                       window=window,

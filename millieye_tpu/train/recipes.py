@@ -48,10 +48,19 @@ def _map_ingest(frame_size, img_size):
     return ingest
 
 
+_HOST_BATCH_KEYS = ("paths", "frame_size", "radar_points", "pmask",
+                    "_n", "brightness")
+
+
 def fusion_device_batch(batch, img_size):
-    """Collated host batch -> device batch with rasterized radar maps."""
+    """Collated host batch -> device batch with rasterized radar maps.
+    Host-side metadata (``_n``, ``brightness``) passes through unconverted
+    so eval consumers never fetch it from device."""
     out = {k: jnp.asarray(v) for k, v in batch.items()
-           if k not in ("paths", "frame_size", "radar_points", "pmask")}
+           if k not in _HOST_BATCH_KEYS}
+    for k in ("_n", "brightness"):
+        if k in batch:
+            out[k] = batch[k]
     if "radar_points" in batch:
         w, h = batch.get("frame_size", (640, 480))
         ingest = _map_ingest((int(w), int(h)), img_size)
@@ -96,6 +105,16 @@ class Trainer:
                         step_no,
                         {k: v for k, v in metrics.items()
                          if jnp.ndim(v) == 0})
+                    # checked only at log points: one D2H fetch per
+                    # log_every steps, not per step (relay switch cost)
+                    nrev = int(metrics.get("nonfinite_reverted", 0))
+                    if nrev:
+                        import sys
+                        print(f"WARNING [{self.name}] step {step_no}: "
+                              f"{nrev} non-finite param/BN elements "
+                              "reverted (NaN/inf batch) — loss may be "
+                              "poisoned; consider grad_clip",
+                              file=sys.stderr, flush=True)
                 if self.viz_fn and step_no % self.viz_every == 0:
                     for tag, imgs in self.viz_fn(self.ts,
                                                  device_batch).items():

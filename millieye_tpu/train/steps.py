@@ -37,6 +37,8 @@ def init_train_state(params, state, tx):
 
 
 def _keep_finite(new, old):
+    if not jnp.issubdtype(jnp.result_type(new), jnp.inexact):
+        return new          # counters / step indices can't be non-finite
     return jnp.where(jnp.isfinite(new), new, old)
 
 
@@ -44,11 +46,14 @@ def _apply(tx, ts, grads, new_bn_state):
     """Optimizer apply with a finite-guard at the state boundary.
 
     A single poisoned batch must never be able to corrupt the run
-    permanently: any non-finite parameter or BN-statistic element
-    reverts to its previous value (BN running stats are EMAs updated
-    OUTSIDE the optimizer — one inf batch mean would otherwise poison
-    them forever). The number of reverted elements is reported as the
-    ``nonfinite_reverted`` metric so silent recovery is observable.
+    permanently: any non-finite parameter, BN-statistic, or optimizer-
+    state element reverts to its previous value (BN running stats are
+    EMAs updated OUTSIDE the optimizer — one inf batch mean would
+    otherwise poison them forever; likewise one NaN gradient would NaN
+    Adam's moments and freeze every later update while the run appears
+    to progress). The number of reverted param/BN elements is reported
+    as the ``nonfinite_reverted`` metric so silent recovery is
+    observable.
     """
     updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
     params = optax.apply_updates(ts.params, updates)
@@ -57,6 +62,7 @@ def _apply(tx, ts, grads, new_bn_state):
         for x in jax.tree.leaves(params) + jax.tree.leaves(new_bn_state))
     params = jax.tree.map(_keep_finite, params, ts.params)
     new_bn_state = jax.tree.map(_keep_finite, new_bn_state, ts.state)
+    opt_state = jax.tree.map(_keep_finite, opt_state, ts.opt_state)
     ts = TrainState(params, new_bn_state, opt_state, ts.step + 1)
     return ts, reverted
 

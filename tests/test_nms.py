@@ -143,3 +143,68 @@ def test_pallas_kernel_matches_fixpoint(rng):
         ref = np.stack([np.asarray(nms_keep_mask(boxes[i], valid[i], t))
                         for i in range(B)])
         np.testing.assert_array_equal(fast, ref)
+
+
+def test_batched_nms_untruncated_dense_conf001(rng):
+    """VERDICT r2 #4: at the stage-3 TRAINING operating point
+    (conf_thresh=0.01, module3 train.py:106-107) nearly every anchor
+    passes the confidence filter — 2535 of 2535 here. The reference
+    applies NMS to ALL of them (utils/utils.py:337-378, no pre-top-k);
+    with pre_top_k covering every anchor the padded on-device NMS must
+    match the untruncated python reference row for row."""
+    conf, iou_t, n = 0.01, 0.5, 2535
+    pred = make_pred(rng, batch=2, n=n)
+    pred[..., 4] = rng.uniform(0.011, 1.0, size=pred.shape[:2])  # all pass
+    det, valid = batched_nms(jnp.asarray(pred), conf, iou_t, max_det=200,
+                             pre_top_k=n, use_pallas=False)
+    det, valid = np.asarray(det), np.asarray(valid)
+
+    for b in range(pred.shape[0]):
+        p = pred[b]
+        boxes = np.stack([p[:, 0] - p[:, 2] / 2, p[:, 1] - p[:, 3] / 2,
+                          p[:, 0] + p[:, 2] / 2, p[:, 1] + p[:, 3] / 2], -1)
+        labels = p[:, 5:].argmax(-1)
+        keep = ref_batched_nms(boxes, p[:, 4], labels, iou_t)[:200]
+        got = det[b][valid[b]]
+        assert got.shape[0] == len(keep)
+        np.testing.assert_allclose(got[:, :4], boxes[keep], rtol=1e-4,
+                                   atol=1e-3)
+        np.testing.assert_allclose(got[:, 4], p[keep, 4], rtol=1e-5)
+        np.testing.assert_array_equal(got[:, 6].astype(int), labels[keep])
+
+
+def test_pre_top_k_truncation_sufficiency(rng):
+    """Truncation to the top-K objectness rows is exact iff <=K rows pass
+    OR >=max_det of the top K survive suppression (suppression only flows
+    down the ranking). Checks both sides: a dense-but-spread scene where
+    the condition holds and top-512 == untruncated, and an adversarial
+    pile-up (every box stacked on one spot) where it fails and
+    ops.nms.pre_top_k_sufficient flags it."""
+    from millieye_tpu.ops.nms import pre_top_k_sufficient
+
+    conf, iou_t, n, k, max_det = 0.01, 0.5, 2535, 512, 200
+    # spread scene: boxes everywhere -> plenty of survivors in the top 512
+    pred = make_pred(rng, batch=1, n=n)
+    pred[..., 4] = rng.uniform(0.011, 1.0, size=pred.shape[:2])
+    ok = np.asarray(pre_top_k_sufficient(jnp.asarray(pred), conf, iou_t,
+                                         max_det=max_det, pre_top_k=k))
+    assert ok.all()
+    full, fv = batched_nms(jnp.asarray(pred), conf, iou_t, max_det=max_det,
+                           pre_top_k=n, use_pallas=False)
+    trunc, tv = batched_nms(jnp.asarray(pred), conf, iou_t, max_det=max_det,
+                            pre_top_k=k, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(tv))
+    np.testing.assert_allclose(np.asarray(full), np.asarray(trunc),
+                               rtol=1e-6)
+
+    # adversarial pile-up: one class, all boxes overlapping -> 1 survivor
+    # in the top 512, while 2535 pass: rows ranked past 512 are LOST
+    bad = make_pred(rng, batch=1, n=n)
+    bad[..., :2] = 200.0
+    bad[..., 2:4] = 50.0
+    bad[..., 4] = np.linspace(0.9, 0.02, n)[None]
+    bad[..., 5:] = 0.0
+    bad[..., 5] = 1.0
+    ok = np.asarray(pre_top_k_sufficient(jnp.asarray(bad), conf, iou_t,
+                                         max_det=max_det, pre_top_k=k))
+    assert not ok.any()
