@@ -49,6 +49,11 @@ SERVING_PRESETS = {
     "bf16_f16stem": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
                      "hi_store": "float16"},
     "bf16_f32stem": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4)},
+    # + bf16 heads: takes the remaining f32 tail (score-map convs, RoI
+    # einsums, refinement/ensemble) to bf16 too; decode/NMS/regression
+    # stay f32
+    "bf16_heads": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                   "hi_store": "float16", "heads_dtype": "bfloat16"},
     "s2d": {"s2d": True},
     "bf16_s2d": {"compute_dtype": "bfloat16", "s2d": True},
     "int8": {"s2d": True, "weights_int8": True},

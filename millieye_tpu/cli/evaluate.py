@@ -57,6 +57,10 @@ def parse_args(argv=None):
                    help="stage the whole eval set on device once "
                         "(data/device_cache.py) — one H2D put instead "
                         "of per-batch transfers")
+    p.add_argument("--data_parallel", type=int, default=0, metavar="N",
+                   help="fusion only: shard eval batches over N devices "
+                        "(params replicated); batch_size must be "
+                        "divisible by N")
     return p.parse_args(argv)
 
 
@@ -112,9 +116,21 @@ def main(argv=None):
                                                     loader, args.img_size)
             params, state = fold_for_serving(model, params, state,
                                              act_absmax)
+        mesh = None
+        if args.data_parallel:
+            import jax
+            from millieye_tpu import parallel
+            if len(jax.devices()) < args.data_parallel:
+                raise SystemExit(
+                    f"--data_parallel {args.data_parallel} needs that many "
+                    f"devices; {len(jax.devices())} visible")
+            if args.batch_size % args.data_parallel:
+                raise SystemExit("batch_size must be divisible by "
+                                 "--data_parallel")
+            mesh = parallel.make_mesh(args.data_parallel, model_axis=1)
         result = harness.evaluate_fusion(
             model, params, state, _batches(loader, args.img_size),
-            mode=args.model_mode, iou_thresh=args.iou_thresh)
+            mode=args.model_mode, iou_thresh=args.iou_thresh, mesh=mesh)
     else:
         if args.synthetic:
             from millieye_tpu.data.synthetic import SyntheticScenes

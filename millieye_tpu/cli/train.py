@@ -61,7 +61,30 @@ def parse_args(argv=None):
                         "H2D from the step loop; incompatible with "
                         "--multiscale (fixed shapes)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_parallel", type=int, default=0, metavar="N",
+                   help="shard the batch over N devices (jax.sharding "
+                        "mesh; gradients all-reduced by GSPMD over ICI); "
+                        "batch_size must be divisible by N")
+    p.add_argument("--model_parallel", type=int, default=1, metavar="M",
+                   help="additionally shard the wide 490/256-channel "
+                        "layers over M devices (uses N*M devices total)")
     return p.parse_args(argv)
+
+
+def _make_mesh(args):
+    if not args.data_parallel and args.model_parallel <= 1:
+        return None
+    from millieye_tpu import parallel
+    n = max(args.data_parallel, 1) * args.model_parallel
+    if len(jax.devices()) < n:
+        raise SystemExit(f"--data_parallel x --model_parallel needs {n} "
+                         f"devices; {len(jax.devices())} visible")
+    if args.batch_size % max(args.data_parallel, 1):
+        raise SystemExit("batch_size must be divisible by --data_parallel")
+    if args.device_cache:
+        raise SystemExit("--device_cache caches on ONE device; drop it "
+                         "when training over a mesh")
+    return parallel.make_mesh(n, model_axis=args.model_parallel)
 
 
 def _make_loader(dataset, args, max_targets=64, radar=False):
@@ -84,6 +107,7 @@ def _make_loader(dataset, args, max_targets=64, radar=False):
 def main(argv=None):
     args = parse_args(argv)
     rng = jax.random.PRNGKey(args.seed)
+    mesh = _make_mesh(args)
 
     if args.stage == "fusion":
         model, params, state = build_fusion(args)
@@ -98,7 +122,7 @@ def main(argv=None):
             params, state, _frozen = load_module2_pretrain(params, state, sd)
         trainer = recipes.fusion_trainer(
             model, params, state, args.checkpoint_dir, lr=args.lr,
-            every_k=args.grad_accum)
+            every_k=args.grad_accum, mesh=mesh)
         if args.synthetic:
             from millieye_tpu.data.synthetic import SyntheticScenes
             dataset = SyntheticScenes(args.synthetic, seed=args.seed,
@@ -128,7 +152,8 @@ def main(argv=None):
                                                  args.pretrained)
             trainer = recipes.yolo_trainer(darknet, params, state,
                                            args.checkpoint_dir, lr=args.lr,
-                                           every_k=args.grad_accum)
+                                           every_k=args.grad_accum,
+                                           mesh=mesh)
         else:
             model, params, state = build_refine(args)
             if args.pretrained:
@@ -138,7 +163,8 @@ def main(argv=None):
             trainer = recipes.refine_trainer(model, params, state,
                                              args.checkpoint_dir,
                                              lr=args.lr,
-                                             every_k=args.grad_accum)
+                                             every_k=args.grad_accum,
+                                             mesh=mesh)
 
     if args.checkpoint:
         trainer.resume(args.checkpoint)

@@ -49,18 +49,21 @@ def _conv2d(x, w, stride, pad, dtype):
 
 def _maxpool(x, size, stride):
     if size == 2 and stride == 1:
-        # reference pads right/bottom by 1 to keep the grid size
-        # (nn.ZeroPad2d((0,1,0,1)), models.py:46-48)
-        pads = [(0, 0), (0, 1), (0, 1), (0, 0)]
-    else:
-        pads = [(0, 0), (0, 0), (0, 0), (0, 0)]
+        # reference pads right/bottom by 1 to keep the grid size, with
+        # ZEROS (nn.ZeroPad2d((0,1,0,1)), models.py:46-48) — an explicit
+        # zero pad, NOT reduce_window padding (which fills with the -inf
+        # init value): where every border activation is negative, the
+        # reference's max includes the 0 and clamps there. Caught by the
+        # checkpoint-parity harness (benchmarks/checkpoint_parity.py) as
+        # an up-to-0.009 objectness divergence on the last grid row/col.
+        x = jnp.pad(x, [(0, 0), (0, 1), (0, 1), (0, 0)])
     return lax.reduce_window(
         x,
         -jnp.inf,
         lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),
-        padding=pads,
+        padding=[(0, 0)] * 4,
     )
 
 

@@ -70,6 +70,14 @@ class FusionConfig:
     compute_dtype: str = "float32"       # backbone conv dtype; "bfloat16"
                                          # runs the MXU at 2x (decode/NMS/
                                          # heads stay float32 for parity)
+    heads_dtype: str = "float32"         # serving: dtype of the f32 tail
+                                         # (score-map convs, RoI einsums,
+                                         # refinement/ensemble heads) —
+                                         # "bfloat16" takes the 2.2 ms
+                                         # RoI+heads slice of the b32
+                                         # graph to bf16; decode, NMS,
+                                         # box_regress (exp!) and losses
+                                         # stay f32; inference-only
     nms_use_pallas: bool = None          # None = auto (pallas on TPU);
                                          # set False when running on CPU
                                          # devices of a TPU-default process
@@ -82,6 +90,13 @@ class FusionConfig:
                                          # needs weights_int8 + an
                                          # act_absmax calibration
                                          # (ops.quantize.calibrate_act_scales)
+
+
+def _cast_floats(tree, dtype):
+    """Cast every floating leaf of a pytree (params/state) to ``dtype``."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(jnp.result_type(a), jnp.floating) else a, tree)
 
 
 class FusionNetwork:
@@ -150,12 +165,31 @@ class FusionNetwork:
             return {"boxes": boxes_out, "valid": det_valid,
                     "num_img": k_img}
 
-        # 2. score maps (heads stay float32 whatever the backbone dtype)
+        # 2. score maps. Default: heads stay float32 whatever the backbone
+        # dtype; cfg.heads_dtype="bfloat16" (inference only) runs the
+        # score-map convs, RoI einsums and head matmuls in bf16 — the
+        # results are cast back to f32 before decode-sensitive math
+        hd = jnp.dtype(cfg.heads_dtype)
+        use_hd = hd != jnp.float32 and not train
+        if use_hd:
+            p_img, s_img = _cast_floats(
+                (params["img_cnn"], state["img_cnn"]), hd)
+            p_rad, s_rad = _cast_floats(
+                (params["radar_enc"], state["radar_enc"]), hd)
+            p_ref, s_ref = _cast_floats(
+                (params["refine"], state["refine"]), hd)
+            p_ens = _cast_floats(params["ensemble"], hd)
+            radar_maps = radar_maps.astype(hd)
+        else:
+            hd = jnp.float32
+            p_img, s_img = params["img_cnn"], state["img_cnn"]
+            p_rad, s_rad = params["radar_enc"], state["radar_enc"]
+            p_ref, s_ref = params["refine"], state["refine"]
+            p_ens = params["ensemble"]
         roi_score_map, img_cnn_s = heads.conv_bn_stack_apply(
-            params["img_cnn"], state["img_cnn"],
-            feature_map.astype(jnp.float32), train)
+            p_img, s_img, feature_map.astype(hd), train)
         radar_score_map, radar_enc_s = heads.radar_encoder_apply(
-            params["radar_enc"], state["radar_enc"], radar_maps, train)
+            p_rad, s_rad, radar_maps, train)
 
         # 3. aggregate proposals, one block per image [B, K+R, 4]
         radar_xyxy = radar_boxes * img_size                     # (:490-492)
@@ -169,20 +203,22 @@ class FusionNetwork:
         # MXU contractions for the whole batch, no gathers, no image loop
         img_crop = ps_roi_align_batched(
             roi_score_map, all_xyxy, (7, 7), 1.0 / 16,
-            sampling_max=cfg.sampling_max).reshape(
-                b_sz * n_all, 7, 7, -1)
+            sampling_max=cfg.sampling_max,
+            compute_dtype=hd).reshape(b_sz * n_all, 7, 7, -1)
         radar_crop = roi_align_batched(
             radar_score_map, all_xyxy, (7, 7), 1.0 / 16,
-            sampling_max=cfg.sampling_max).reshape(
-                b_sz * n_all, 7, 7, -1)
+            sampling_max=cfg.sampling_max,
+            compute_dtype=hd).reshape(b_sz * n_all, 7, 7, -1)
 
         # 5. refinement head (img-feature scoring + radar-confidence fusion)
         regress_param, refinement_vector, refine_s = heads.refinement_head_apply(
-            params["refine"], state["refine"], radar_crop, img_crop,
-            valid=flat_valid.astype(jnp.float32), train=train,
+            p_ref, s_ref, radar_crop, img_crop,
+            valid=flat_valid.astype(hd), train=train,
             class_num=cfg.class_num)
-        regress_param = regress_param.reshape(b_sz, n_all, 4)
-        refinement_vector = refinement_vector.reshape(
+        # back to f32 before regression (exp!) / sorting / losses
+        regress_param = regress_param.astype(jnp.float32).reshape(
+            b_sz, n_all, 4)
+        refinement_vector = refinement_vector.astype(jnp.float32).reshape(
             b_sz, n_all, 1 + cfg.class_num)
 
         # 6. ensemble head on image proposals only (my_models.py:509-513);
@@ -191,10 +227,11 @@ class FusionNetwork:
         yolo_vector = jax.lax.stop_gradient(jnp.concatenate(
             [img_conf[..., None], img_cls_scores[:, :, :cfg.class_num]], -1))
         ens = heads.ensemble_head_apply(
-            params["ensemble"],
-            refinement_vector[:, :k_img].reshape(b_sz * k_img, -1),
-            yolo_vector.reshape(b_sz * k_img, -1),
-        ).reshape(b_sz, k_img, 2)
+            p_ens,
+            refinement_vector[:, :k_img].astype(hd).reshape(
+                b_sz * k_img, -1),
+            yolo_vector.astype(hd).reshape(b_sz * k_img, -1),
+        ).astype(jnp.float32).reshape(b_sz, k_img, 2)
         # module3 convention: ensemble channel 0 is p(foreground)
         fg = jnp.concatenate(
             [ens[:, :, 0], refinement_vector[:, k_img:, 0]], axis=1)
@@ -377,31 +414,45 @@ class RefineNetwork:
         det = jax.lax.stop_gradient(det)
 
         img_xyxy = det[:, :, 0:4]
+        hd = jnp.dtype(cfg.heads_dtype)
+        use_hd = hd != jnp.float32 and not train
+        if use_hd:
+            p_fcn, s_fcn = _cast_floats((params["fcn"], state["fcn"]), hd)
+            p_ref, s_ref = _cast_floats(
+                (params["refine"], state["refine"]), hd)
+            p_ens = _cast_floats(params["ensemble"], hd)
+        else:
+            hd = jnp.float32
+            p_fcn, s_fcn = params["fcn"], state["fcn"]
+            p_ref, s_ref = params["refine"], state["refine"]
+            p_ens = params["ensemble"]
         roi_score_map, fcn_s = heads.conv_bn_stack_apply(
-            params["fcn"], state["fcn"],
-            d_out["feature_map"].astype(jnp.float32), train)
+            p_fcn, s_fcn, d_out["feature_map"].astype(hd), train)
 
         img_crop = ps_roi_align_batched(
             roi_score_map, img_xyxy, (7, 7), 1.0 / 16,
-            sampling_max=cfg.sampling_max).reshape(b_sz * k_img, 7, 7, -1)
+            sampling_max=cfg.sampling_max,
+            compute_dtype=hd).reshape(b_sz * k_img, 7, 7, -1)
 
         drop_rng = None
         if train and rng is not None:
             rng, drop_rng = jax.random.split(rng)
         regress_param, refinement_vector, refine_s = heads.refinement_head_apply(
-            params["refine"], state["refine"], None, img_crop,
+            p_ref, s_ref, None, img_crop,
             train=train, dropout_rng=drop_rng, class_num=cfg.class_num)
-        regress_param = regress_param.reshape(b_sz, k_img, 4)
-        refinement_vector = refinement_vector.reshape(b_sz, k_img, -1)
+        regress_param = regress_param.astype(jnp.float32).reshape(
+            b_sz, k_img, 4)
+        refinement_vector = refinement_vector.astype(jnp.float32).reshape(
+            b_sz, k_img, -1)
 
         yolo_vector = jax.lax.stop_gradient(jnp.concatenate(
             [det[:, :, 4:5], det[:, :, 7:]], -1))
         masks = heads.ensemble_head_apply(
-            params["ensemble"],
-            refinement_vector.reshape(b_sz * k_img, -1),
-            yolo_vector.reshape(b_sz * k_img, -1),
+            p_ens,
+            refinement_vector.astype(hd).reshape(b_sz * k_img, -1),
+            yolo_vector.astype(hd).reshape(b_sz * k_img, -1),
             fc2_leaky=True,
-        ).reshape(b_sz, k_img, 2)
+        ).astype(jnp.float32).reshape(b_sz, k_img, 2)
         fg = masks[:, :, 1]                       # module2:352-353
 
         positive = det_valid & (fg > cfg.refine_threshold_img)

@@ -296,7 +296,7 @@ def _batched_prep(boxes, h, w, bins, spatial_scale, offset, min_size,
 
 def roi_align_batched(features, boxes, output_size=(7, 7),
                       spatial_scale=1.0 / 16, sampling_ratio=-1,
-                      sampling_max=4):
+                      sampling_max=4, compute_dtype=None):
     """Per-image RoIAlign with NO cross-image selection: features
     [B, H, W, C], boxes [B, N, 4] xyxy (image coordinates) -> crops
     [B, N, ph, pw, C].
@@ -305,19 +305,25 @@ def roi_align_batched(features, boxes, output_size=(7, 7),
     are already laid out one block per image (the fusion network), where
     it removes the per-image accumulation loop of the flat-roi API —
     one pair of batched MXU contractions for the whole batch.
+
+    ``compute_dtype``: einsum operand dtype (the interp matrices are
+    always BUILT in f32 and MXU accumulation stays f32); bf16 halves the
+    contraction cost for the serving heads_dtype ladder.
     """
     _, h, w, _ = features.shape
     by, bx = _batched_prep(boxes, h, w, output_size, spatial_scale, 0.0,
                            1.0, sampling_ratio, sampling_max)
-    t = jnp.einsum("bnph,bhwc->bnpwc", by, features,
-                   preferred_element_type=jnp.float32)
+    cd = compute_dtype or features.dtype
+    by, bx = by.astype(cd), bx.astype(cd)
+    t = jnp.einsum("bnph,bhwc->bnpwc", by, features.astype(cd),
+                   preferred_element_type=jnp.float32).astype(cd)
     return jnp.einsum("bnqw,bnpwc->bnpqc", bx, t,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32).astype(cd)
 
 
 def ps_roi_align_batched(features, boxes, output_size=(7, 7),
                          spatial_scale=1.0 / 16, sampling_ratio=-1,
-                         sampling_max=4):
+                         sampling_max=4, compute_dtype=None):
     """Position-sensitive variant of ``roi_align_batched``: features
     [B, H, W, C_out*ph*pw] (torch C_out-major bin layout), boxes
     [B, N, 4] -> [B, N, ph, pw, C_out]."""
@@ -327,8 +333,10 @@ def ps_roi_align_batched(features, boxes, output_size=(7, 7),
     assert c_out * ph * pw == c_in
     by, bx = _batched_prep(boxes, h, w, output_size, spatial_scale, -0.5,
                            0.1, sampling_ratio, sampling_max)
-    fv = features.reshape(b, h, w, c_out, ph, pw)
+    cd = compute_dtype or features.dtype
+    by, bx = by.astype(cd), bx.astype(cd)
+    fv = features.astype(cd).reshape(b, h, w, c_out, ph, pw)
     t = jnp.einsum("bnph,bhwupq->bnpqwu", by, fv,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32).astype(cd)
     return jnp.einsum("bnqw,bnpqwu->bnpqu", bx, t,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32).astype(cd)

@@ -71,9 +71,12 @@ def param_sharding(mesh, params):
 
 
 def shard_batch(mesh, batch):
-    """Put a host batch dict onto the mesh, batch-dim sharded over "data"."""
+    """Put a host batch dict onto the mesh, batch-dim sharded over "data".
+    Host-side scalars (``_n``, ``brightness``) pass through unsharded."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sh)
+        if getattr(x, "ndim", 0) >= 1 else x, batch)
 
 
 def shard_train_state(mesh, ts):

@@ -79,8 +79,18 @@ class Trainer:
     buffers are deleted after the first step."""
 
     def __init__(self, step_fn, train_state, ckpt_dir, logdir=None,
-                 log_every=10, name="stage", viz_fn=None, viz_every=50):
+                 log_every=10, name="stage", viz_fn=None, viz_every=50,
+                 mesh=None):
         self.step = jax.jit(step_fn, donate_argnums=(0,))
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip data(+tensor) parallel path: the train state is
+            # placed on the mesh and every batch is batch-dim sharded;
+            # GSPMD inserts the gradient psum over "data" (and the
+            # activation collectives over "model") from the input
+            # shardings — the step function itself is unchanged
+            from millieye_tpu import parallel
+            train_state = parallel.shard_train_state(mesh, train_state)
         self.ts = train_state
         self.ckpt_dir = ckpt_dir
         self.logger = MetricsLogger(logdir or os.path.join(ckpt_dir, "logs"))
@@ -98,6 +108,10 @@ class Trainer:
             for batch in loader:
                 rng, sub = jax.random.split(rng)
                 device_batch = batch_fn(batch)
+                if self.mesh is not None:
+                    from millieye_tpu import parallel
+                    device_batch = parallel.shard_batch(self.mesh,
+                                                        device_batch)
                 self.ts, metrics = self.step(self.ts, device_batch, sub)
                 step_no += 1
                 if step_no % self.log_every == 0:
@@ -139,20 +153,20 @@ class Trainer:
 
 
 def yolo_trainer(model, params, state, ckpt_dir, lr=1e-3, every_k=2,
-                 log_every=10, grad_clip=None):
+                 log_every=10, grad_clip=None, mesh=None):
     tx = frozen_adam(params, lr=lr, every_k=every_k, grad_clip=grad_clip)
     ts = init_train_state(params, state, tx)
     return Trainer(make_yolo_train_step(model, tx), ts, ckpt_dir,
-                   name="yolo", log_every=log_every)
+                   name="yolo", log_every=log_every, mesh=mesh)
 
 
 def refine_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2,
-                   log_every=10, grad_clip=None):
+                   log_every=10, grad_clip=None, mesh=None):
     tx = frozen_adam(params, lr=lr, frozen_prefixes=STAGE2_FROZEN,
                      every_k=every_k, grad_clip=grad_clip)
     ts = init_train_state(params, state, tx)
     return Trainer(make_refine_train_step(model, tx), ts, ckpt_dir,
-                   name="module2", log_every=log_every)
+                   name="module2", log_every=log_every, mesh=mesh)
 
 
 def fusion_viz(model, mode=0):
@@ -175,7 +189,7 @@ def fusion_viz(model, mode=0):
 
 def fusion_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2,
                    mode=0, freeze_module2=True, viz=False, log_every=10,
-                   grad_clip=None):
+                   grad_clip=None, mesh=None):
     tx = frozen_adam(params, lr=lr, grad_clip=grad_clip,
                      frozen_prefixes=STAGE3_FROZEN if freeze_module2 else
                      (("darknet",),),
@@ -183,7 +197,8 @@ def fusion_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2,
     ts = init_train_state(params, state, tx)
     return Trainer(make_fusion_train_step(model, tx, mode), ts, ckpt_dir,
                    name="module3", log_every=log_every,
-                   viz_fn=fusion_viz(model, mode) if viz else None)
+                   viz_fn=fusion_viz(model, mode) if viz else None,
+                   mesh=mesh)
 
 
 def transfer_module2_to_fusion(refine_params, refine_state, fusion_params,

@@ -86,3 +86,58 @@ def test_dim_input_precision_recovered():
     err_mx = np.abs(mx - ref).mean() / scale
     assert err_mx < err_bf, (err_mx, err_bf)
     assert np.isfinite(mx).all()
+
+
+def test_heads_dtype_bf16_close_to_f32():
+    """FusionConfig.heads_dtype="bfloat16" (serving, VERDICT r2 #3): the
+    score-map convs, RoI einsums and head matmuls run bf16; the output
+    rows must stay close to the f32 graph and the train path must be
+    unaffected (the cast is inference-only)."""
+    from millieye_tpu.models.fusion import FusionConfig, FusionNetwork
+
+    img = 128
+    defs = tiny_yolov3_defs(num_classes=12, img_size=img)
+    darknet = Darknet(defs, img_size=img)
+    kw = dict(conf_thresh=0.05, max_det=16, max_radar=4, pre_nms_top_k=64,
+              nms_use_pallas=False)
+    m32 = FusionNetwork(darknet, FusionConfig(**kw))
+    m16 = FusionNetwork(darknet, FusionConfig(heads_dtype="bfloat16", **kw))
+    params, state = m32.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(size=(2, img, img, 3)), jnp.float32)
+    maps = jnp.asarray(rng.uniform(size=(2, img // 16, img // 16, 3)),
+                       jnp.float32)
+    rb = np.zeros((2, 4, 4), np.float32)
+    rb[..., :2] = rng.uniform(0.1, 0.5, (2, 4, 2))
+    rb[..., 2:] = rb[..., :2] + 0.3
+    rb = jnp.asarray(rb)
+    rm = jnp.asarray(np.ones((2, 4), bool))
+
+    o32 = m32.apply(params, state, x, maps, rb, rm, mode=0)
+    o16 = m16.apply(params, state, x, maps, rb, rm, mode=0)
+    v32 = np.asarray(o32["valid"])
+    v16 = np.asarray(o16["valid"])
+    # same number of surviving proposals (scores move by <1e-2 typically;
+    # threshold comparisons are far from the boundary with random nets)
+    assert abs(int(v32.sum()) - int(v16.sum())) <= 2
+    # rows may permute under the priority sort (tiny score shifts), and
+    # exp(dw) amplifies bf16 rounding of the random-weight regression
+    # outputs — so match rows by confidence proximity, not position
+    for b in range(2):
+        c32 = np.sort(np.asarray(o32["boxes"])[b][v32[b]][:, 4])
+        c16 = np.sort(np.asarray(o16["boxes"])[b][v16[b]][:, 4])
+        n = min(len(c32), len(c16))
+        np.testing.assert_allclose(c16[:n], c32[:n], atol=0.05)
+
+    # train path ignores heads_dtype (bit-identical losses)
+    t = np.zeros((2, 3, 5), np.float32)
+    t[..., 1:3] = rng.uniform(0.3, 0.7, (2, 3, 2))
+    t[..., 3:5] = rng.uniform(0.1, 0.3, (2, 3, 2))
+    tm = jnp.asarray(np.ones((2, 3), bool))
+    key = jax.random.PRNGKey(7)
+    l32 = m32.apply(params, state, x, maps, rb, rm, mode=0, train=True,
+                    targets=jnp.asarray(t), tmask=tm, rng=key)["loss"]
+    l16 = m16.apply(params, state, x, maps, rb, rm, mode=0, train=True,
+                    targets=jnp.asarray(t), tmask=tm, rng=key)["loss"]
+    assert float(l32) == float(l16)

@@ -117,3 +117,30 @@ def test_shardmap_fusion_step(rng):
     assert int(ts2.step) == 1
     for a, b2 in zip(dark0, jax.tree.leaves(ts2.params["darknet"])):
         np.testing.assert_array_equal(a, np.asarray(b2))
+
+
+def test_train_cli_data_parallel_matches_single(tmp_path):
+    """VERDICT r2 #5: the CLI's --data_parallel path (Trainer mesh) must
+    produce the same training result as the single-device path — same
+    synthetic data, same seed, one epoch; the epoch-end checkpoints are
+    compared parameter by parameter."""
+    import numpy as np
+    from millieye_tpu.cli.train import main
+
+    common = ["--stage", "fusion", "--synthetic", "8", "--epochs", "1",
+              "--batch_size", "8", "--img_size", "128", "--seed", "3"]
+    main(common + ["--checkpoint_dir", str(tmp_path / "single")])
+    main(common + ["--checkpoint_dir", str(tmp_path / "mesh"),
+                   "--data_parallel", "4", "--model_parallel", "2"])
+
+    def load_raw(path):
+        with np.load(path, allow_pickle=False) as z:
+            keys = sorted(z.files, key=lambda k: int(k.split("|")[0]))
+            return keys, [z[k] for k in keys]
+
+    ks, flat_s = load_raw(str(tmp_path / "single" / "module3_ckpt_final.npz"))
+    km, flat_m = load_raw(str(tmp_path / "mesh" / "module3_ckpt_final.npz"))
+    assert ks == km and len(flat_s) > 50
+    for k, a, b in zip(ks, flat_s, flat_m):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5,
+                                   err_msg=k)
