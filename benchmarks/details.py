@@ -49,11 +49,11 @@ def main():
     results = {"device": str(jax.devices()[0])}
 
     def build(dtype, s2d=(), int8=False, int8_acts=False, hi_prec=(),
-              hi_store=None, im2col=()):
+              hi_store=None, im2col=(), heads_dtype="float32"):
         darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=s),
                           img_size=s, s2d_stages=s2d, hi_prec_stages=hi_prec,
                           hi_prec_store=hi_store, im2col_stages=im2col)
-        cfg = FusionConfig(compute_dtype=dtype)
+        cfg = FusionConfig(compute_dtype=dtype, heads_dtype=heads_dtype)
         model = FusionNetwork(darknet, cfg)
         cpu = g._init_device()
         import contextlib
@@ -111,13 +111,18 @@ def main():
                 # lane-dim shuffle (stage-0 plain runs at ~2% lane use)
                 ("bfloat16", "im2col", (), False, False, (), None, (0, 2)),
                 ("bfloat16", "im2col_f16stem", (), False, False, (0, 2, 4),
-                 "float16", (0, 2)))
+                 "float16", (0, 2)),
+                # + bf16 heads: the 2.2 ms f32 tail (score maps, RoI
+                # einsums, refinement/ensemble) in bf16 too
+                ("bfloat16", "bf16_heads", (), False, False, (0, 2, 4),
+                 "float16", (), "bfloat16"))
     for dtype, vname, s2d, int8, acts, *rest in VARIANTS:
         hi = rest[0] if rest else ()
         hi_store = (jnp.float16 if len(rest) > 1 and rest[1] else None)
         im2col = rest[2] if len(rest) > 2 else ()
+        heads_dtype = rest[3] if len(rest) > 3 else "float32"
         model, params, state = build(dtype, s2d, int8, acts, hi, hi_store,
-                                     im2col)
+                                     im2col, heads_dtype)
 
         def fwd(i, m, r, v):
             out = model.apply(params, state, i, m, r, v, mode=0)
@@ -179,6 +184,23 @@ def main():
     results["train_step_b8_steps_per_s"] = round(1 / dt, 2)
     results["train_step_b8_imgs_per_s"] = round(b / dt, 1)
     print(f"train step b8: {1/dt:.2f} steps/s", flush=True)
+
+    # ---- MFU ledger (VERDICT r2 #7): analytic FLOPs/frame + per-variant
+    # model FLOPs utilization against the dtype's matmul peak
+    from benchmarks.flops import fusion_flops, mfu, PEAK_FLOPS
+    fl = fusion_flops(FusionNetwork(
+        Darknet(tiny_yolov3_defs(num_classes=12, img_size=s), img_size=s)))
+    results["flops_per_frame"] = {k: round(v / 1e9, 3) for k, v in
+                                  fl.items()}
+    results["peak_tflops"] = {k: v / 1e12 for k, v in PEAK_FLOPS.items()}
+    mfu_tbl = {}
+    for key, val in list(results.items()):
+        if not (key.startswith("fusion_fwd_") and key.endswith("_fps")):
+            continue
+        dt = "bfloat16" if "bfloat16" in key else "float32"
+        mfu_tbl[key.replace("_fps", "_mfu_pct")] = round(
+            100 * mfu(val, fl["total"], dt), 2)
+    results["mfu"] = mfu_tbl
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_DETAILS.json")

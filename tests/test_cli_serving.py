@@ -56,8 +56,12 @@ def test_serving_overrides_shape():
     assert s2d == () and hi == (0, 2, 4) and store == "float16"
     assert over == {"compute_dtype": "bfloat16"}
     assert set(SERVING_PRESETS) == {"f32", "bf16", "bf16_f16stem",
-                                    "bf16_f32stem", "s2d", "bf16_s2d",
-                                    "int8", "int8_acts"}
+                                    "bf16_f32stem", "bf16_heads", "s2d",
+                                    "bf16_s2d", "int8", "int8_acts"}
+    s2d, hi, store, over = serving_overrides("bf16_heads")
+    assert s2d == () and hi == (0, 2, 4) and store == "float16"
+    assert over == {"compute_dtype": "bfloat16",
+                    "heads_dtype": "bfloat16"}
 
 
 def test_evaluate_cli_serving(tmp_path):

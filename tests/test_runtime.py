@@ -152,3 +152,50 @@ def test_batched_window_rejects_auto_mode(engine, tmp_path):
         frame_size=FRAME), mode=3)
     with pytest.raises(ValueError):
         pipe.run_batched(window=2)
+
+
+def test_batched_window_staged_replay(engine, tmp_path):
+    """run_batched(staged=...): device-resident windows skip the producer
+    and per-window H2D but run the same step/fetch/demux consumer; results
+    must match the host-fed batched path frame for frame."""
+    rec = str(tmp_path / "rec3")
+    _write_recording(rec, n_frames=4)
+    params = RadarParams(frame_size=FRAME, num_pts_filter=1, min_hits=1,
+                         min_velocity=0.0)
+    pipe = StreamingPipeline(engine, rec, CALIB, params, mode=0)
+    ref = {}
+    pipe.run_batched(window=2, on_result=lambda i, b, v: ref.update(
+        {i: (b, v)}))
+
+    # build the equivalent staged windows from the same recording
+    from millieye_tpu.collection.prepare import iter_frames
+    frames = dict(iter_frames(rec))
+    # queue must hold every frame: _produce runs synchronously here
+    pipe2 = StreamingPipeline(engine, rec, CALIB, params, mode=0,
+                              queue_size=16)
+    pipe2._produce(device_stage=False, drop_on_full=False)  # fills queue
+    items = []
+    while True:
+        it = pipe2.q.get()
+        if it is None:
+            break
+        items.append(it)
+    staged = []
+    for lo in range(0, len(items), 2):
+        chunk = items[lo:lo + 2]
+        idxs = [c[0] for c in chunk]
+        fr = np.stack([np.ascontiguousarray(c[1]) for c in chunk])
+        packed = [np.stack([c[2][j] for c in chunk]) for j in range(4)]
+        staged.append((idxs, tuple(
+            jax.device_put(a) for a in (fr, *packed))))
+    pipe3 = StreamingPipeline(engine, rec, CALIB, params, mode=0)
+    got = {}
+    n, report = pipe3.run_batched(window=2, staged=staged,
+                                  on_result=lambda i, b, v: got.update(
+                                      {i: (b, v)}))
+    assert n == 4 and report["device_resident"]
+    assert sorted(got) == sorted(ref)
+    for i in ref:
+        np.testing.assert_array_equal(got[i][1], ref[i][1])
+        np.testing.assert_allclose(got[i][0], ref[i][0], rtol=1e-4,
+                                   atol=1e-4)
