@@ -48,7 +48,7 @@ def _warm(retry_ok=True):
     retries once from scratch.
     """
     import jax
-    from __graft_entry__ import entry
+    from __graft_entry__ import bench_entry as entry
 
     try:
         fn, args = entry()

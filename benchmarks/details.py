@@ -49,10 +49,12 @@ def main():
     results = {"device": str(jax.devices()[0])}
 
     def build(dtype, s2d=(), int8=False, int8_acts=False, hi_prec=(),
-              hi_store=None, im2col=(), heads_dtype="float32"):
+              hi_store=None, im2col=(), heads_dtype="float32",
+              pallas_stem=()):
         darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=s),
                           img_size=s, s2d_stages=s2d, hi_prec_stages=hi_prec,
-                          hi_prec_store=hi_store, im2col_stages=im2col)
+                          hi_prec_store=hi_store, im2col_stages=im2col,
+                          pallas_stem_stages=pallas_stem)
         cfg = FusionConfig(compute_dtype=dtype, heads_dtype=heads_dtype)
         model = FusionNetwork(darknet, cfg)
         cpu = g._init_device()
@@ -115,14 +117,29 @@ def main():
                 # + bf16 heads: the 2.2 ms f32 tail (score maps, RoI
                 # einsums, refinement/ensemble) in bf16 too
                 ("bfloat16", "bf16_heads", (), False, False, (0, 2, 4),
-                 "float16", (), "bfloat16"))
+                 "float16", (), "bfloat16"),
+                # + Pallas fused conv+pool stem on stages 0/2 (full-res
+                # intermediates stay in VMEM; f32 stem arithmetic free)
+                ("bfloat16", "pallas_stem", (), False, False, (0, 2, 4),
+                 "float16", (), "bfloat16", (0, 2)))
     for dtype, vname, s2d, int8, acts, *rest in VARIANTS:
+        if vname == "pallas_stem" and not os.environ.get(
+                "MILLIEYE_PALLAS_STEM"):
+            # opt-in: a pathological Mosaic compile of this kernel can
+            # wedge the remote compile terminal for hours (round-3
+            # incident); probe benchmarks/stem_pallas_check.py in a
+            # timeout-guarded subprocess first, then set
+            # MILLIEYE_PALLAS_STEM=1
+            print("skipping pallas_stem (set MILLIEYE_PALLAS_STEM=1)",
+                  flush=True)
+            continue
         hi = rest[0] if rest else ()
         hi_store = (jnp.float16 if len(rest) > 1 and rest[1] else None)
         im2col = rest[2] if len(rest) > 2 else ()
         heads_dtype = rest[3] if len(rest) > 3 else "float32"
+        pallas_stem = rest[4] if len(rest) > 4 else ()
         model, params, state = build(dtype, s2d, int8, acts, hi, hi_store,
-                                     im2col, heads_dtype)
+                                     im2col, heads_dtype, pallas_stem)
 
         def fwd(i, m, r, v):
             out = model.apply(params, state, i, m, r, v, mode=0)

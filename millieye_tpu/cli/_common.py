@@ -22,11 +22,12 @@ def build_darknet(model_cfg=None, num_classes=12, img_size=416,
 
 
 def build_fusion(args_cfg=None, s2d_stages=(), hi_prec_stages=(),
-                 hi_prec_store=None, **overrides):
+                 hi_prec_store=None, pallas_stem=(), **overrides):
     darknet = build_darknet(getattr(args_cfg, "model_def", None),
                             img_size=getattr(args_cfg, "img_size", 416),
                             s2d_stages=s2d_stages)
     darknet.hi_prec_stages = tuple(hi_prec_stages)
+    darknet.pallas_stem_stages = tuple(pallas_stem)
     if hi_prec_store is not None:
         import jax.numpy as jnp
         darknet.hi_prec_store = jnp.dtype(hi_prec_store)
@@ -54,6 +55,11 @@ SERVING_PRESETS = {
     # stay f32
     "bf16_heads": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
                    "hi_store": "float16", "heads_dtype": "bfloat16"},
+    # Pallas fused conv+pool stem on stages 0/2 (full-res intermediates
+    # never touch HBM; f32 VMEM arithmetic = hi-prec stem for free)
+    "pallas_stem": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                    "hi_store": "float16", "heads_dtype": "bfloat16",
+                    "pallas": (0, 2)},
     "s2d": {"s2d": True},
     "bf16_s2d": {"compute_dtype": "bfloat16", "s2d": True},
     "int8": {"s2d": True, "weights_int8": True},
@@ -62,12 +68,14 @@ SERVING_PRESETS = {
 
 
 def serving_overrides(name):
-    """(s2d_stages, hi_prec_stages, hi_prec_store, cfg overrides)."""
+    """(s2d_stages, hi_prec_stages, hi_prec_store, pallas_stem_stages,
+    cfg overrides)."""
     preset = dict(SERVING_PRESETS[name])
     s2d = (0, 2) if preset.pop("s2d", False) else ()
     hi = tuple(preset.pop("hi_prec", ()))
     store = preset.pop("hi_store", None)
-    return s2d, hi, store, preset
+    pallas = tuple(preset.pop("pallas", ()))
+    return s2d, hi, store, pallas, preset
 
 
 def build_refine(args_cfg=None, **overrides):

@@ -187,7 +187,8 @@ class Darknet:
     """cfg/zoo-driven YOLO graph. Stateless; owns only the layer plan."""
 
     def __init__(self, config, img_size=416, feature_tap=8, s2d_stages=(),
-                 hi_prec_stages=(), hi_prec_store=None, im2col_stages=()):
+                 hi_prec_stages=(), hi_prec_store=None, im2col_stages=(),
+                 pallas_stem_stages=(), pallas_stem_variant="batched"):
         if isinstance(config, (str,)):
             config = parse_model_config(config)
         self.hyperparams = config[0]
@@ -197,8 +198,16 @@ class Darknet:
         self._plan = self._build_plan()
         self.s2d_stages = tuple(s2d_stages)
         self.im2col_stages = tuple(im2col_stages)
-        if set(self.s2d_stages) & set(self.im2col_stages):
-            raise ValueError("a stage cannot be both s2d and im2col")
+        # Pallas fused conv+pool stem (ops/stem_pallas.py): the full-res
+        # conv output never touches HBM — inference path, folded BN only
+        self.pallas_stem_stages = tuple(pallas_stem_stages)
+        self.pallas_stem_variant = pallas_stem_variant
+        overlap = (set(self.s2d_stages) & set(self.im2col_stages)
+                   | set(self.s2d_stages) & set(self.pallas_stem_stages)
+                   | set(self.im2col_stages) & set(self.pallas_stem_stages))
+        if overlap:
+            raise ValueError(f"stages {sorted(overlap)} assigned to more "
+                             "than one stem transform")
         # convs kept in float32 under a low-precision compute_dtype.
         # Mechanism (measured on the trained net): dark-frame object
         # contrast (~0.007) rides on O(1) bias-dominated activations, so
@@ -278,17 +287,18 @@ class Darknet:
             referenced.update(info.get("layers", ()))
             if "frm" in info:
                 referenced.add(info["frm"])
-        for i in self.s2d_stages + self.im2col_stages:
+        for i in (self.s2d_stages + self.im2col_stages
+                  + self.pallas_stem_stages):
             info, nxt = self._plan[i], self._plan[i + 1]
             ok = (info["type"] == "convolutional" and info["size"] == 3
                   and info["stride"] == 1 and nxt["type"] == "maxpool"
                   and nxt["size"] == 2 and nxt["stride"] == 2)
             if not ok:
                 raise ValueError(f"block {i} is not a conv3x3s1+maxpool2s2 "
-                                 "stage; cannot space-to-depth it")
+                                 "stage; cannot stem-fuse it")
             if i in referenced or i == self.feature_tap:
                 raise ValueError(f"block {i} is route/tap-referenced; "
-                                 "s2d would change its resolution")
+                                 "stem fusion would change its resolution")
 
     # -- parameters ----------------------------------------------------------
     def init(self, rng):
@@ -389,10 +399,36 @@ class Darknet:
                 return y.astype(compute_dtype) * sc.reshape(1, 1, 1, -1)
             return _conv2d(z, _weight(p, key), stride, pad, _layer_dtype(i))
 
+        def _pallas_fused(j):
+            # Pallas stem engages at inference on FOLDED weights only
+            # (the kernel bakes bias+leaky+pool; train/BN keeps XLA)
+            return (j in self.pallas_stem_stages and not train
+                    and "gamma" not in params[j] and "w" in params[j])
+
         for i, info in enumerate(self._plan):
             t = info["type"]
             p = params[i]
-            if t == "convolutional" and "wi" in p:
+            if t == "convolutional" and _pallas_fused(i):
+                from millieye_tpu.ops.stem_pallas import fused_stem_planar
+                xin = outputs[-1] if outputs else images
+                if collect_act_stats:
+                    act_absmax[i] = jnp.max(jnp.abs(xin)).astype(
+                        jnp.float32)
+                assert info["act"] == "leaky", "stem kernel bakes leaky"
+                # f32 arithmetic in VMEM regardless of compute dtype (the
+                # hi-prec-stem property for free); store dtype follows
+                # the hi_prec_store / compute_dtype ladder
+                store = (self.hi_prec_store
+                         if (i in self.hi_prec_stages
+                             and self.hi_prec_store is not None)
+                         else (jnp.float32 if i in self.hi_prec_stages
+                               else compute_dtype))
+                x = fused_stem_planar(
+                    xin.astype(jnp.float32), p["w"], p["b"],
+                    variant=self.pallas_stem_variant,
+                    interpret=jax.default_backend() != "tpu",
+                    out_dtype=jnp.dtype(store))
+            elif t == "convolutional" and "wi" in p:
                 # im2col-fused conv+pool stage (see im2col_stem_weight):
                 # 16 spatial slices -> one full-lane matmul -> phase-max
                 xin = outputs[-1] if outputs else images
@@ -451,7 +487,8 @@ class Darknet:
             elif t == "maxpool":
                 fused = (i - 1 in self.s2d_stages and (
                     "w2" in params[i - 1] or "q2" in params[i - 1])) or (
-                    i - 1 in self.im2col_stages and "wi" in params[i - 1])
+                    i - 1 in self.im2col_stages and "wi" in params[i - 1]
+                ) or _pallas_fused(i - 1)
                 if fused:
                     x = outputs[-1]   # pool already fused into the stage
                 else:

@@ -190,17 +190,75 @@ def _stem_kernel_planar(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref, *,
     jax.lax.fori_loop(0, n_bands, band_fn, 0)
 
 
+def _stem_kernel_planar_rowdot(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref,
+                               y_ref, *, band, w_pad, cin, cout, k_pad,
+                               n_bands):
+    """Row-pair planar spelling with NO sublane<->lane reshape anywhere —
+    the batched spelling's [K, band, W] -> [K, band*W] collapse is the
+    likeliest Mosaic-hang suspect. Per output row: two K-row scratch
+    fills (single-sublane writes of lane-rolled rows), two [D, K] x
+    [K, W] dots, elementwise row-pair max, lane-roll + max for columns,
+    and the one-hot select matmul. Pooled rows land in a band scratch at
+    STATIC sublane offsets; one aligned store per band writes them out.
+    More op overhead than the batched spelling, still well under the XLA
+    stage."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    a_mat = a_ref[...]                    # [D, K_pad]
+    bias = b_ref[...]                     # [D, 1]
+    psel = p_ref[...]                     # [W_pad, W_pad//2]
+    half = band // 2
+    if k_pad > 9 * cin:
+        s_ref[9 * cin:] = jnp.zeros((k_pad - 9 * cin, w_pad), jnp.float32)
+
+    def band_fn(i, _):
+        r0 = pl.multiple_of(band * i, 8)
+        bigs = [x_ref[c, pl.dslice(r0, band + 8)] for c in range(cin)]
+
+        for o in range(half):             # static python loop
+            ys = []
+            for dr in (0, 1):
+                r = 2 * o + dr
+                for c in range(cin):
+                    for u in range(3):
+                        row = bigs[c][r + u:r + u + 1]     # [1, W_pad]
+                        for v in range(3):
+                            rv = row if v == 0 else pltpu.roll(
+                                row, w_pad - v, 1)
+                            k = c * 9 + u * 3 + v
+                            s_ref[k:k + 1] = rv
+                y = jax.lax.dot_general(
+                    a_mat, s_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [D, W_pad]
+                y = y + bias
+                ys.append(jnp.where(y > 0, y, 0.1 * y))
+            rmax = jnp.maximum(ys[0], ys[1])
+            cmax = jnp.maximum(rmax, pltpu.roll(rmax, w_pad - 1, 1))
+            y_ref[:, o, :] = jax.lax.dot_general(
+                cmax, psel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [D, W_pad/2]
+        o_ref[:, pl.dslice(half * i, half)] = y_ref[...].astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_bands, band_fn, 0)
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("band", "interpret", "out_dtype"))
-def fused_stem_planar(x, w, b, band=16, interpret=False, out_dtype=None):
+                   static_argnames=("band", "interpret", "out_dtype",
+                                    "variant"))
+def fused_stem_planar(x, w, b, band=16, interpret=False, out_dtype=None,
+                      variant="batched"):
     """NHWC drop-in for ``fused_stem`` via the planar kernel.
 
     [N, H, W, C] -> [N, H/2, W/2, D] == maxpool2(leaky(conv3x3(x)+b)).
     ``band``: pre-pool rows per VMEM band (even, H % band == 0).
+    ``variant``: "batched" (one [D,K]x[K,band*W] dot per band) or
+    "rowdot" (per-row dots, no sublane<->lane reshapes).
     The wrapper pays one NHWC->planar transpose on the 2 MB input and
     one planar->NHWC transpose on the pooled output — both tiny next to
     the full-res intermediate the fused kernel keeps out of HBM.
@@ -216,6 +274,7 @@ def fused_stem_planar(x, w, b, band=16, interpret=False, out_dtype=None):
     out_dtype = out_dtype or x.dtype
     w_pad = _round_up(w_in + 2, 128)
     k_pad = _round_up(9 * cin, 8)
+    assert variant in ("batched", "rowdot"), variant
 
     # rows padded 1 above + 7 below: the kernel loads aligned
     # (band+8)-row blocks, so the last band reads 6 rows past the halo
@@ -229,9 +288,17 @@ def fused_stem_planar(x, w, b, band=16, interpret=False, out_dtype=None):
     col = jax.lax.broadcasted_iota(jnp.int32, (w_pad, w_pad // 2), 1)
     psel = (row == 2 * col).astype(jnp.float32)
 
-    kernel = functools.partial(
-        _stem_kernel_planar, band=band, w_pad=w_pad, cin=cin, cout=cout,
-        k_pad=k_pad, n_bands=h // band)
+    if variant == "batched":
+        kernel = functools.partial(
+            _stem_kernel_planar, band=band, w_pad=w_pad, cin=cin,
+            cout=cout, k_pad=k_pad, n_bands=h // band)
+        scratch = [pltpu.VMEM((k_pad, band, w_pad), jnp.float32)]
+    else:
+        kernel = functools.partial(
+            _stem_kernel_planar_rowdot, band=band, w_pad=w_pad, cin=cin,
+            cout=cout, k_pad=k_pad, n_bands=h // band)
+        scratch = [pltpu.VMEM((k_pad, w_pad), jnp.float32),
+                   pltpu.VMEM((cout, band // 2, w_pad // 2), jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -246,9 +313,7 @@ def fused_stem_planar(x, w, b, band=16, interpret=False, out_dtype=None):
                                lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, cout, h // 2, w_pad // 2),
                                        out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((k_pad, band, w_pad), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(xp, a_mat, b.astype(jnp.float32).reshape(cout, 1), psel)
     return out[:, :, :, :w_in // 2].transpose(0, 2, 3, 1)

@@ -44,3 +44,46 @@ def test_fused_stem_out_dtype():
     out = fused_stem(x, w, b, th=8, interpret=True,
                      out_dtype=jnp.bfloat16)
     assert out.dtype == jnp.bfloat16 and out.shape == (1, 8, 8, 4)
+
+
+def test_darknet_pallas_stem_matches_plain():
+    """Darknet(pallas_stem_stages=(0, 2)) with folded BN must reproduce
+    the plain graph (interpret mode on CPU); train/unfolded params fall
+    back to the XLA path."""
+    import jax
+    import jax.numpy as jnp
+    from millieye_tpu.models import Darknet, tiny_yolov3_defs
+
+    S = 64
+    defs = tiny_yolov3_defs(num_classes=12, img_size=S)
+    plain_net = Darknet(defs, img_size=S)
+    pal_net = Darknet(defs, img_size=S, pallas_stem_stages=(0, 2))
+    params, state = plain_net.init(jax.random.PRNGKey(0))
+    fp, fs = plain_net.fold_batchnorm(params, state)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(2, S, S, 3)), jnp.float32)
+    ref = plain_net.apply(fp, fs, x)
+    got = pal_net.apply(fp, fs, x)
+    np.testing.assert_allclose(np.asarray(got["feature_map"]),
+                               np.asarray(ref["feature_map"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["detections"]),
+                               np.asarray(ref["detections"]),
+                               rtol=1e-4, atol=1e-3)
+    # unfolded (BN present) params: kernel must NOT engage; still exact
+    got2 = pal_net.apply(params, state, x)
+    ref2 = plain_net.apply(params, state, x)
+    np.testing.assert_allclose(np.asarray(got2["detections"]),
+                               np.asarray(ref2["detections"]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_serving_preset_pallas_stem_builds():
+    from millieye_tpu.cli._common import build_fusion, serving_overrides
+    s2d, hi, store, pallas, over = serving_overrides("pallas_stem")
+    model, params, state = build_fusion(
+        None, s2d_stages=s2d, hi_prec_stages=hi, hi_prec_store=store,
+        pallas_stem=pallas, conf_thresh=0.05, max_det=16, max_radar=4,
+        pre_nms_top_k=64, nms_use_pallas=False, **over)
+    assert model.darknet.pallas_stem_stages == (0, 2)
