@@ -127,7 +127,8 @@ def _stem_kernel_vgroup(x_ref, w_ref, b_ref, o_ref, *, th, w_out, cin,
 
 
 def _stem_kernel_planar(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref, *,
-                        band, w_pad, cin, cout, k_pad, n_bands):
+                        band, w_pad, cin, cout, k_pad, n_bands,
+                        precision):
     """Planar stencil: C-major input, W in lanes, taps in sublanes.
 
     Every VMEM buffer is lane-dense (the NHWC spelling lane-pads C=3 to
@@ -173,6 +174,7 @@ def _stem_kernel_planar(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref, *,
         z = s_ref[...].reshape(k_pad, band * w_pad)
         y = jax.lax.dot_general(
             a_mat, z, (((1,), (0,)), ((), ())),
+            precision=precision,
             preferred_element_type=jnp.float32)            # [D, band*W]
         y = y + bias
         y = jnp.where(y > 0, y, 0.1 * y)
@@ -182,6 +184,7 @@ def _stem_kernel_planar(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref, *,
         pooled = jax.lax.dot_general(
             cmax.reshape(cout * half, w_pad), psel,
             (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)            # [D*half, W/2]
         o_ref[:, pl.dslice(half * i, half)] = pooled.reshape(
             cout, half, w_pad // 2).astype(o_ref.dtype)
@@ -192,7 +195,7 @@ def _stem_kernel_planar(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref, *,
 
 def _stem_kernel_planar_rowdot(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref,
                                y_ref, *, band, w_pad, cin, cout, k_pad,
-                               n_bands):
+                               n_bands, precision):
     """Row-pair planar spelling with NO sublane<->lane reshape anywhere —
     the batched spelling's [K, band, W] -> [K, band*W] collapse is the
     likeliest Mosaic-hang suspect. Per output row: two K-row scratch
@@ -230,6 +233,7 @@ def _stem_kernel_planar_rowdot(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref,
                             s_ref[k:k + 1] = rv
                 y = jax.lax.dot_general(
                     a_mat, s_ref[...], (((1,), (0,)), ((), ())),
+                    precision=precision,
                     preferred_element_type=jnp.float32)    # [D, W_pad]
                 y = y + bias
                 ys.append(jnp.where(y > 0, y, 0.1 * y))
@@ -237,6 +241,7 @@ def _stem_kernel_planar_rowdot(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref,
             cmax = jnp.maximum(rmax, pltpu.roll(rmax, w_pad - 1, 1))
             y_ref[:, o, :] = jax.lax.dot_general(
                 cmax, psel, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)        # [D, W_pad/2]
         o_ref[:, pl.dslice(half * i, half)] = y_ref[...].astype(o_ref.dtype)
         return 0
@@ -250,15 +255,21 @@ def _round_up(x, m):
 
 @functools.partial(jax.jit,
                    static_argnames=("band", "interpret", "out_dtype",
-                                    "variant"))
+                                    "variant", "precision"))
 def fused_stem_planar(x, w, b, band=16, interpret=False, out_dtype=None,
-                      variant="batched"):
+                      variant="batched", precision="highest"):
     """NHWC drop-in for ``fused_stem`` via the planar kernel.
 
     [N, H, W, C] -> [N, H/2, W/2, D] == maxpool2(leaky(conv3x3(x)+b)).
     ``band``: pre-pool rows per VMEM band (even, H % band == 0).
     ``variant``: "batched" (one [D,K]x[K,band*W] dot per band) or
     "rowdot" (per-row dots, no sublane<->lane reshapes).
+    ``precision``: MXU passes for the conv dot — "highest" (default)
+    keeps true f32 arithmetic (exact vs the XLA f32 stage and the
+    hi-prec-stem property for free; the stem's MXU work is tiny, so the
+    extra passes are free next to the VMEM copies); "default" is the
+    one-pass bf16 MXU product. The pool's one-hot select matmul is
+    always HIGHEST (anything less rounds the selected VALUES to bf16).
     The wrapper pays one NHWC->planar transpose on the 2 MB input and
     one planar->NHWC transpose on the pooled output — both tiny next to
     the full-res intermediate the fused kernel keeps out of HBM.
@@ -275,6 +286,8 @@ def fused_stem_planar(x, w, b, band=16, interpret=False, out_dtype=None,
     w_pad = _round_up(w_in + 2, 128)
     k_pad = _round_up(9 * cin, 8)
     assert variant in ("batched", "rowdot"), variant
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
 
     # rows padded 1 above + 7 below: the kernel loads aligned
     # (band+8)-row blocks, so the last band reads 6 rows past the halo
@@ -291,12 +304,12 @@ def fused_stem_planar(x, w, b, band=16, interpret=False, out_dtype=None,
     if variant == "batched":
         kernel = functools.partial(
             _stem_kernel_planar, band=band, w_pad=w_pad, cin=cin,
-            cout=cout, k_pad=k_pad, n_bands=h // band)
+            cout=cout, k_pad=k_pad, n_bands=h // band, precision=prec)
         scratch = [pltpu.VMEM((k_pad, band, w_pad), jnp.float32)]
     else:
         kernel = functools.partial(
             _stem_kernel_planar_rowdot, band=band, w_pad=w_pad, cin=cin,
-            cout=cout, k_pad=k_pad, n_bands=h // band)
+            cout=cout, k_pad=k_pad, n_bands=h // band, precision=prec)
         scratch = [pltpu.VMEM((k_pad, w_pad), jnp.float32),
                    pltpu.VMEM((cout, band // 2, w_pad // 2), jnp.float32)]
     out = pl.pallas_call(
