@@ -121,9 +121,13 @@ def main():
                 # + Pallas fused conv+pool stem on stages 0/2 (full-res
                 # intermediates stay in VMEM; f32 stem arithmetic free)
                 ("bfloat16", "pallas_stem", (), False, False, (0, 2, 4),
-                 "float16", (), "bfloat16", (0, 2)))
+                 "float16", (), "bfloat16", (0, 2)),
+                # stage 4 too (104px, auto band=8) — standalone stem
+                # bench won 1.9x at stages 0/1; s4 is the next largest
+                ("bfloat16", "pallas_stem_s4", (), False, False, (0, 2, 4),
+                 "float16", (), "bfloat16", (0, 2, 4)))
     for dtype, vname, s2d, int8, acts, *rest in VARIANTS:
-        if vname == "pallas_stem" and not os.environ.get(
+        if vname.startswith("pallas_stem") and not os.environ.get(
                 "MILLIEYE_PALLAS_STEM"):
             # opt-in: a pathological Mosaic compile of this kernel can
             # wedge the remote compile terminal for hours (round-3

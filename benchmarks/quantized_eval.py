@@ -101,8 +101,25 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
                       img_size=IMG, hi_prec_stages=(0, 2, 4),
                       hi_prec_store=jnp.float16)
 
+    # Pallas fused stem (stages 0/2): f32 VMEM arithmetic like hi_prec,
+    # f16 pooled stores; heads bf16 — the round-3 throughput config
+    pallas_dn = Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                        img_size=IMG, hi_prec_stages=(0, 2, 4),
+                        hi_prec_store=jnp.float16,
+                        pallas_stem_stages=(0, 2))
+    heads_cfg = FusionConfig(conf_thresh=0.2, pre_nms_top_k=512,
+                             max_det=64, max_radar=16,
+                             compute_dtype="bfloat16",
+                             heads_dtype="bfloat16")
+
     variants = {
         "f32": (base, dict(params, darknet=fp), "float32"),
+        # + bf16 heads over the f16-stem config (score maps, RoI einsums,
+        # refinement/ensemble in bf16; decode/NMS/regression stay f32)
+        "bf16_heads": (FusionNetwork(f16s_dn, heads_cfg),
+                       dict(params, darknet=fp), "bfloat16"),
+        "pallas_stem": (FusionNetwork(pallas_dn, heads_cfg),
+                        dict(params, darknet=fp), "bfloat16"),
         "bf16_f32stem": (FusionNetwork(
             mixed_dn, FusionConfig(conf_thresh=0.2, pre_nms_top_k=512,
                                    max_det=64, max_radar=16,

@@ -1,9 +1,16 @@
 """On-chip check + bench of the Pallas fused stem (ops/stem_pallas.py).
 
-Correctness vs the XLA composition at the real stage-0/1 shapes, then
-scan-amortized timing against the plain stage. Expected win: the plain
-b32 stage-0 costs ~2.9 ms (full-res intermediate round-trips HBM at ~2%
-MXU lane use); the kernel's HBM traffic is read-once/write-once.
+Correctness of ``fused_stem_planar`` vs the XLA composition at the real
+stage-0/1 shapes, then scan-amortized timing against the plain stage.
+
+Reference precision matters on TPU: ``lax.conv_general_dilated`` at
+DEFAULT precision runs one-pass bf16 on the MXU (maxerr ~4e-3 vs exact
+f32 at stage-0 K=27, ~9e-3 at stage-1 K=144), while the planar kernel's
+dots default to HIGHEST (true f32). The exactness assert therefore
+compares against the HIGHEST-precision conv; the default-precision gap
+is printed for the record (it is the REFERENCE's rounding, not the
+kernel's — first diagnosed round 3 when every on-chip case "failed" at
+3.9e-3 against a default-precision reference).
 
     python benchmarks/stem_pallas_check.py
 """
@@ -22,13 +29,13 @@ from jax import lax
 
 import __graft_entry__  # noqa: F401
 from benchmarks.backbone_profile import bench_scanned
-from millieye_tpu.ops.stem_pallas import fused_stem
+from millieye_tpu.ops.stem_pallas import fused_stem_planar
 
 
-def plain(x, w, b):
+def plain(x, w, b, precision=None):
     y = lax.conv_general_dilated(x, w, (1, 1), [(1, 1), (1, 1)],
-                                 dimension_numbers=("NHWC", "HWIO",
-                                                    "NHWC")) + b
+                                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                                 precision=precision) + b
     y = jnp.where(y > 0, y, 0.1 * y)
     return lax.reduce_window(y, -jnp.inf, lax.max, (1, 2, 2, 1),
                              (1, 2, 2, 1), [(0, 0)] * 4)
@@ -36,24 +43,31 @@ def plain(x, w, b):
 
 def main():
     rng = np.random.default_rng(0)
-    for (b_sz, h, cin, cout, th) in ((32, 416, 3, 16, 26),
-                                     (32, 208, 16, 32, 26),
-                                     (1, 416, 3, 16, 26)):
+    variant = sys.argv[1] if len(sys.argv) > 1 else "batched"
+    for (b_sz, h, cin, cout, band) in ((32, 416, 3, 16, 16),
+                                       (32, 208, 16, 32, 16),
+                                       (1, 416, 3, 16, 16)):
         x = jnp.asarray(rng.uniform(-1, 1, (b_sz, h, h, cin)), jnp.float32)
         w = jnp.asarray(0.1 * rng.standard_normal((3, 3, cin, cout)),
                         jnp.float32)
         bias = jnp.asarray(0.05 * rng.standard_normal(cout), jnp.float32)
 
-        ref = np.asarray(jax.jit(plain)(x, w, bias))
-        got = np.asarray(fused_stem(x, w, bias, th=th))
-        err = np.abs(got - ref).max()
-        print(f"b{b_sz} {h}x{cin}->{cout}: maxerr {err:.2e}", flush=True)
-        assert err < 1e-3, err
+        got = np.asarray(fused_stem_planar(x, w, bias, band=band,
+                                           variant=variant))
+        ref_hi = np.asarray(jax.jit(
+            lambda a, b, c: plain(a, b, c, lax.Precision.HIGHEST))(x, w, bias))
+        ref_df = np.asarray(jax.jit(plain)(x, w, bias))
+        e_hi = np.abs(got - ref_hi).max()
+        e_df = np.abs(got - ref_df).max()
+        print(f"{variant} b{b_sz} {h}x{cin}->{cout}: maxerr {e_hi:.2e} "
+              f"(default-precision ref is itself {e_df:.2e} off)", flush=True)
+        assert e_hi < 1e-4, e_hi
 
         t_plain = bench_scanned(lambda z, _w=w, _b=bias: plain(z, _w, _b),
                                 x, k=10)
         t_pallas = bench_scanned(
-            lambda z, _w=w, _b=bias, _t=th: fused_stem(z, _w, _b, th=_t),
+            lambda z, _w=w, _b=bias: fused_stem_planar(
+                z, _w, _b, band=band, variant=variant),
             x, k=10)
         print(f"  plain {t_plain*1e6:.0f} us  pallas {t_pallas*1e6:.0f} us"
               f"  ({t_plain/max(t_pallas,1e-9):.2f}x)", flush=True)

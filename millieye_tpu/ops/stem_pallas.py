@@ -256,12 +256,14 @@ def _round_up(x, m):
 @functools.partial(jax.jit,
                    static_argnames=("band", "interpret", "out_dtype",
                                     "variant", "precision"))
-def fused_stem_planar(x, w, b, band=16, interpret=False, out_dtype=None,
+def fused_stem_planar(x, w, b, band=None, interpret=False, out_dtype=None,
                       variant="batched", precision="highest"):
     """NHWC drop-in for ``fused_stem`` via the planar kernel.
 
     [N, H, W, C] -> [N, H/2, W/2, D] == maxpool2(leaky(conv3x3(x)+b)).
-    ``band``: pre-pool rows per VMEM band (even, H % band == 0).
+    ``band``: pre-pool rows per VMEM band (even, H % band == 0); None
+    picks the largest even divisor of H at most 16 (band=16 measured
+    fastest at the stem shapes; 32 exceeds the 16 MB scoped-VMEM stack).
     ``variant``: "batched" (one [D,K]x[K,band*W] dot per band) or
     "rowdot" (per-row dots, no sublane<->lane reshapes).
     ``precision``: MXU passes for the conv dot — "highest" (default)
@@ -280,6 +282,8 @@ def fused_stem_planar(x, w, b, band=16, interpret=False, out_dtype=None,
     n, h, w_in, cin = x.shape
     cout = w.shape[3]
     assert w.shape[:3] == (3, 3, cin), w.shape
+    if band is None:
+        band = next(k for k in range(16, 0, -2) if h % k == 0)
     assert h % 2 == 0 and w_in % 2 == 0 and band % 2 == 0 \
         and h % band == 0
     out_dtype = out_dtype or x.dtype
