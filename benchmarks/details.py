@@ -36,6 +36,33 @@ def _measure(f, args, iters=50, windows=3, fetch=lambda out: out[1]):
     return best
 
 
+_OUT_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BENCH_DETAILS.json")
+_DROPPED_STALE = False
+
+
+def _flush(results):
+    """Merge ``results`` into BENCH_DETAILS.json. The first flush of a
+    run drops every fusion_fwd_* key so a variant removed from VARIANTS
+    can't linger with numbers from older code."""
+    global _DROPPED_STALE
+    merged = {}
+    if os.path.exists(_OUT_PATH):
+        with open(_OUT_PATH) as f:
+            merged = json.load(f)
+    if not _DROPPED_STALE:
+        merged = {k: v for k, v in merged.items()
+                  if not k.startswith("fusion_fwd_")}
+        _DROPPED_STALE = True
+    merged.update(results)
+    merged["methodology"] = ("windows end in a D2H fetch; "
+                             "block_until_ready alone can return early "
+                             "through the relay during pending compiles")
+    with open(_OUT_PATH, "w") as f:
+        json.dump(merged, f, indent=1)
+    return merged
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -156,6 +183,8 @@ def main():
             key = f"fusion_fwd_{dtype}_{vname}_b{b}_fps"
             results[key] = round(b / dt, 1)
             print(f"{key}: {results[key]}", flush=True)
+        _flush(results)  # partial write: a wedged late compile (the
+        # pallas variants run last) must not lose earlier measurements
 
     # device latency (scan-amortized): the tunnel's ~1 ms per-program
     # dispatch floor hides b1 gains in wall-clock fps; K chained
@@ -223,21 +252,7 @@ def main():
             100 * mfu(val, fl["total"], dt), 2)
     results["mfu"] = mfu_tbl
 
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_DETAILS.json")
-    merged = {}
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            merged = json.load(f)
-    # drop stale keys from the pre-variant schema
-    merged = {k: v for k, v in merged.items()
-              if not k.startswith("fusion_fwd_")}
-    merged.update(results)
-    merged["methodology"] = ("windows end in a D2H fetch; "
-                             "block_until_ready alone can return early "
-                             "through the relay during pending compiles")
-    with open(out_path, "w") as f:
-        json.dump(merged, f, indent=1)
+    merged = _flush(results)
     print(json.dumps(merged))
 
 

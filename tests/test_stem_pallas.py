@@ -1,7 +1,9 @@
 """Pallas fused stem (ops/stem_pallas.py, interpret mode): exactness vs
-the XLA conv+bias+leaky+pool composition. The real-hardware compile is
-blocked on two Mosaic limitations (module docstring); this pins the
-kernel's semantics for the round-3 stencil rewrite."""
+the XLA conv+bias+leaky+pool composition. The planar ``fused_stem_planar``
+(batched variant) is the one that compiles under Mosaic and runs on-chip
+(validated round 3: exact to 2.4e-7 vs a HIGHEST-precision reference,
+1.9x the plain XLA stage at b32 — benchmarks/stem_pallas_check.py); the
+NHWC ``fused_stem`` spellings remain interpret-only references."""
 import numpy as np
 import pytest
 
@@ -9,7 +11,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from millieye_tpu.ops.stem_pallas import fused_stem
+from millieye_tpu.ops.stem_pallas import fused_stem, fused_stem_planar
 
 
 def _plain(x, w, b):
@@ -32,6 +34,25 @@ def test_fused_stem_matches_plain(shape, th):
     b = jnp.asarray(0.1 * rng.standard_normal(cout), jnp.float32)
     ref = _plain(x, w, b)
     got = fused_stem(x, w, b, th=th, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["batched", "rowdot"])
+@pytest.mark.parametrize("shape", [(2, 32, 32, 3, 16),
+                                   (1, 40, 24, 5, 8)])
+def test_fused_stem_planar_auto_band(shape, variant):
+    """Planar kernel with band=None: largest even divisor of H <= 16
+    (40 -> 10, 32 -> 16) must reproduce the XLA composition, including
+    odd lane-padding (W=24 pads to 128)."""
+    n, h, wd, cin, cout = shape
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(-1, 1, (n, h, wd, cin)), jnp.float32)
+    w = jnp.asarray(0.3 * rng.standard_normal((3, 3, cin, cout)),
+                    jnp.float32)
+    b = jnp.asarray(0.1 * rng.standard_normal(cout), jnp.float32)
+    ref = _plain(x, w, b)
+    got = fused_stem_planar(x, w, b, interpret=True, variant=variant)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4)
 
