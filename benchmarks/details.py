@@ -153,7 +153,15 @@ def main():
                 # bench won 1.9x at stages 0/1; s4 is the next largest
                 ("bfloat16", "pallas_stem_s4", (), False, False, (0, 2, 4),
                  "float16", (), "bfloat16", (0, 2, 4)))
+    global _DROPPED_STALE
+    only = os.environ.get("MILLIEYE_ONLY")
+    if only:
+        # partial rerun (e.g. MILLIEYE_ONLY=pallas after a late-variant
+        # compile failure): keep every already-measured fusion_fwd_* row
+        _DROPPED_STALE = True
     for dtype, vname, s2d, int8, acts, *rest in VARIANTS:
+        if only and only not in vname:
+            continue
         if vname.startswith("pallas_stem") and not os.environ.get(
                 "MILLIEYE_PALLAS_STEM"):
             # opt-in: a pathological Mosaic compile of this kernel can
@@ -190,9 +198,10 @@ def main():
     # dispatch floor hides b1 gains in wall-clock fps; K chained
     # executions inside one program measure what the chip itself does
     from benchmarks.backbone_profile import bench_scanned
-    for vname, s2d, int8, acts in (("plain", (), False, False),
-                                   ("s2d", (0, 2), False, False),
-                                   ("s2d_int8_acts", (0, 2), True, True)):
+    for vname, s2d, int8, acts in (() if only else
+                                   (("plain", (), False, False),
+                                    ("s2d", (0, 2), False, False),
+                                    ("s2d_int8_acts", (0, 2), True, True))):
         model, params, state = build("float32", s2d, int8, acts)
         i1, m1, r1, v1 = inputs(1)
 
@@ -207,6 +216,11 @@ def main():
 
     # stage-3 train step (frozen subtrees, grad accumulation off for a
     # clean per-step number)
+    if only:
+        # filtered rerun: the non-variant sections' numbers are already
+        # in the file; just regenerate the MFU table over the merge
+        _mfu_and_finish(results)
+        return
     from millieye_tpu.train import (frozen_adam, STAGE3_FROZEN,
                                     make_fusion_train_step)
     from millieye_tpu.train.steps import init_train_state
@@ -235,24 +249,30 @@ def main():
     results["train_step_b8_imgs_per_s"] = round(b / dt, 1)
     print(f"train step b8: {1/dt:.2f} steps/s", flush=True)
 
-    # ---- MFU ledger (VERDICT r2 #7): analytic FLOPs/frame + per-variant
-    # model FLOPs utilization against the dtype's matmul peak
+    _mfu_and_finish(results)
+
+
+def _mfu_and_finish(results, s=416):
+    """MFU ledger (VERDICT r2 #7): analytic FLOPs/frame + per-variant
+    model FLOPs utilization against the dtype's matmul peak — computed
+    over the MERGED file so a filtered rerun keeps every variant's row."""
     from benchmarks.flops import fusion_flops, mfu, PEAK_FLOPS
+    from millieye_tpu.models import Darknet, tiny_yolov3_defs
+    from millieye_tpu.models.fusion import FusionNetwork
     fl = fusion_flops(FusionNetwork(
         Darknet(tiny_yolov3_defs(num_classes=12, img_size=s), img_size=s)))
     results["flops_per_frame"] = {k: round(v / 1e9, 3) for k, v in
                                   fl.items()}
     results["peak_tflops"] = {k: v / 1e12 for k, v in PEAK_FLOPS.items()}
+    merged = _flush(results)
     mfu_tbl = {}
-    for key, val in list(results.items()):
+    for key, val in merged.items():
         if not (key.startswith("fusion_fwd_") and key.endswith("_fps")):
             continue
         dt = "bfloat16" if "bfloat16" in key else "float32"
         mfu_tbl[key.replace("_fps", "_mfu_pct")] = round(
             100 * mfu(val, fl["total"], dt), 2)
-    results["mfu"] = mfu_tbl
-
-    merged = _flush(results)
+    merged = _flush({"mfu": mfu_tbl})
     print(json.dumps(merged))
 
 

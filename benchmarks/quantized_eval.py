@@ -147,25 +147,34 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
     }
     folded_state = dict(state, darknet=fs)
 
+    def _merge(results):
+        # incremental, additive flush: a late-variant compile failure
+        # must not lose earlier rows, and a MILLIEYE_ONLY rerun keeps
+        # every other variant's numbers
+        merged = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                merged = json.load(f)
+        merged.setdefault("serving_accuracy", {}).update(results)
+        with open(out_path, "w") as f:
+            json.dump(merged, f, indent=1)
+        return merged
+
+    only = [t for t in os.environ.get("MILLIEYE_ONLY", "").split(",") if t]
     results = {}
     for light in ("L", "H"):
         cache = _cache(SyntheticScenes(n_test, seed=777,
                                        illumination=(light,)))
         for name, (model, p, _dt) in variants.items():
+            if only and not any(t in name for t in only):
+                continue
             batches = (fusion_device_batch(b, IMG)
                        for b in cache.loader(16))
             res = evaluate_fusion(model, p, folded_state, batches, mode=0)
             m = round(summarize(res)[1], 4) if res else 0.0
             results[f"map50_{name}_{light}"] = m
             print(f"{name} {light}: mAP@0.5 = {m}", flush=True)
-
-    merged = {}
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            merged = json.load(f)
-    merged["serving_accuracy"] = results
-    with open(out_path, "w") as f:
-        json.dump(merged, f, indent=1)
+            _merge(results)
     print(json.dumps(results))
 
 

@@ -63,6 +63,18 @@ def main():
               f"(default-precision ref is itself {e_df:.2e} off)", flush=True)
         assert e_hi < 1e-4, e_hi
 
+        if h == 416 and b_sz == 32:
+            # f16 store (the hi_prec_store ladder's dtype): Mosaic has no
+            # f16, so the kernel must store f32 and cast outside — this
+            # compiles the exact spelling the e2e pallas_stem preset uses
+            got16 = np.asarray(fused_stem_planar(
+                x, w, bias, band=band, variant=variant,
+                out_dtype=jnp.float16))
+            assert got16.dtype == np.float16, got16.dtype
+            e16 = np.abs(got16.astype(np.float32) - ref_hi).max()
+            print(f"  f16-store maxerr {e16:.2e}", flush=True)
+            assert e16 < 2e-3, e16
+
         t_plain = bench_scanned(lambda z, _w=w, _b=bias: plain(z, _w, _b),
                                 x, k=10)
         t_pallas = bench_scanned(

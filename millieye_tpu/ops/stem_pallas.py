@@ -166,11 +166,12 @@ def _stem_kernel_planar(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref, *,
         r0 = pl.multiple_of(band * i, 8)
         for c in range(cin):
             big = x_ref[c, pl.dslice(r0, band + 8)]        # [band+8, W]
-            for u in range(3):
-                slab = big[u:u + band]                     # [band, W_pad]
-                for v in range(3):
-                    sv = slab if v == 0 else pltpu.roll(slab, w_pad - v, 1)
-                    s_ref[c * 9 + u * 3 + v] = sv
+            # roll the whole (band+8)-row block once per v (lane roll and
+            # row slice commute): 2 rolls per channel-band instead of 6
+            for v in range(3):
+                bv = big if v == 0 else pltpu.roll(big, w_pad - v, 1)
+                for u in range(3):
+                    s_ref[c * 9 + u * 3 + v] = bv[u:u + band]
         z = s_ref[...].reshape(k_pad, band * w_pad)
         y = jax.lax.dot_general(
             a_mat, z, (((1,), (0,)), ((), ())),
@@ -286,7 +287,13 @@ def fused_stem_planar(x, w, b, band=None, interpret=False, out_dtype=None,
         band = next(k for k in range(16, 0, -2) if h % k == 0)
     assert h % 2 == 0 and w_in % 2 == 0 and band % 2 == 0 \
         and h % band == 0
-    out_dtype = out_dtype or x.dtype
+    out_dtype = jnp.dtype(out_dtype or x.dtype)
+    # Mosaic has no f16 type ("Unsupported type in mosaic dialect: 'f16'"
+    # kills the whole e2e compile): when the hi_prec_store ladder asks
+    # for f16, the KERNEL stores f32 and the cast rides the planar->NHWC
+    # output transpose below — one fused XLA pass, no extra HBM trip.
+    store_dtype = (jnp.dtype(jnp.float32) if out_dtype == jnp.float16
+                   else out_dtype)
     w_pad = _round_up(w_in + 2, 128)
     k_pad = _round_up(9 * cin, 8)
     assert variant in ("batched", "rowdot"), variant
@@ -329,11 +336,11 @@ def fused_stem_planar(x, w, b, band=None, interpret=False, out_dtype=None,
         out_specs=pl.BlockSpec((None, cout, h // 2, w_pad // 2),
                                lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, cout, h // 2, w_pad // 2),
-                                       out_dtype),
+                                       store_dtype),
         scratch_shapes=scratch,
         interpret=interpret,
     )(xp, a_mat, b.astype(jnp.float32).reshape(cout, 1), psel)
-    return out[:, :, :, :w_in // 2].transpose(0, 2, 3, 1)
+    return out[:, :, :, :w_in // 2].transpose(0, 2, 3, 1).astype(out_dtype)
 
 
 @functools.partial(jax.jit,
@@ -357,7 +364,10 @@ def fused_stem(x, w, b, th=26, interpret=False, out_dtype=None,
     cout = w.shape[3]
     assert w.shape[:3] == (3, 3, cin), w.shape
     assert h % 2 == 0 and w_in % 2 == 0 and (h // 2) % th == 0
-    out_dtype = out_dtype or x.dtype
+    out_dtype = jnp.dtype(out_dtype or x.dtype)
+    # Mosaic has no f16 (see fused_stem_planar): store f32, cast outside
+    store_dtype = (jnp.dtype(jnp.float32) if out_dtype == jnp.float16
+                   else out_dtype)
 
     xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)))
     if variant == "im2col":
@@ -388,6 +398,6 @@ def fused_stem(x, w, b, th=26, interpret=False, out_dtype=None,
         out_specs=pl.BlockSpec((None, h // 2, w_in // 2, cout),
                                lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h // 2, w_in // 2, cout),
-                                       out_dtype),
+                                       store_dtype),
         interpret=interpret,
-    )(xp, wm, b.astype(jnp.float32))
+    )(xp, wm, b.astype(jnp.float32)).astype(out_dtype)
