@@ -29,7 +29,7 @@ from jax import lax
 
 import __graft_entry__  # noqa: F401
 from benchmarks.backbone_profile import bench_scanned
-from millieye_tpu.ops.stem_pallas import fused_stem_planar
+from millieye_tpu.ops.stem_pallas import fused_stem_planar, fused_stem2_planar
 
 
 def plain(x, w, b, precision=None):
@@ -41,9 +41,61 @@ def plain(x, w, b, precision=None):
                              (1, 2, 2, 1), [(0, 0)] * 4)
 
 
+def main_stem2():
+    """Double-fused two-stage kernel (argv[1] == "stem2"): exactness vs
+    the XLA two-stage composition, then scan-amortized timing against
+    (a) the XLA stages at HIGHEST and DEFAULT precision and (b) two
+    single-stage Pallas calls — the e2e-relevant baselines (round-3
+    lesson: the e2e XLA stem is much cheaper than the HIGHEST-precision
+    standalone stage the first check compared against)."""
+    rng = np.random.default_rng(0)
+    b_sz, h, cin, cmid, cout = 32, 416, 3, 16, 32
+    x = jnp.asarray(rng.uniform(-1, 1, (b_sz, h, h, cin)), jnp.float32)
+    w0 = jnp.asarray(0.1 * rng.standard_normal((3, 3, cin, cmid)),
+                     jnp.float32)
+    b0 = jnp.asarray(0.05 * rng.standard_normal(cmid), jnp.float32)
+    w1 = jnp.asarray(0.1 * rng.standard_normal((3, 3, cmid, cout)),
+                     jnp.float32)
+    b1 = jnp.asarray(0.05 * rng.standard_normal(cout), jnp.float32)
+
+    def two_stage(x, prec):
+        return plain(plain(x, w0, b0, prec), w1, b1, prec)
+
+    got = np.asarray(fused_stem2_planar(x, w0, b0, w1, b1))
+    ref_hi = np.asarray(jax.jit(
+        lambda a: two_stage(a, lax.Precision.HIGHEST))(x))
+    e_hi = np.abs(got - ref_hi).max()
+    print(f"stem2 b{b_sz} {h}x{cin}->{cmid}->{cout}: maxerr {e_hi:.2e}",
+          flush=True)
+    assert e_hi < 1e-4, e_hi
+    g16 = np.asarray(fused_stem2_planar(x, w0, b0, w1, b1,
+                                        out_dtype=jnp.float16))
+    assert g16.dtype == np.float16
+    print(f"  f16-store maxerr "
+          f"{np.abs(g16.astype(np.float32) - ref_hi).max():.2e}", flush=True)
+
+    for name, f in (
+        ("xla_highest", lambda z: two_stage(z, lax.Precision.HIGHEST)),
+        ("xla_default", lambda z: two_stage(z, None)),
+        ("pallas_2call", lambda z: fused_stem_planar(
+            fused_stem_planar(z, w0, b0, band=16), w1, b1, band=16)),
+        ("pallas_2call_def", lambda z: fused_stem_planar(
+            fused_stem_planar(z, w0, b0, band=16, precision="default"),
+            w1, b1, band=16, precision="default")),
+        ("stem2", lambda z: fused_stem2_planar(z, w0, b0, w1, b1)),
+        ("stem2_default", lambda z: fused_stem2_planar(
+            z, w0, b0, w1, b1, precision="default")),
+    ):
+        t = bench_scanned(f, x, k=10)
+        print(f"  {name:.<18} {t*1e6:.0f} us/batch "
+              f"({b_sz/t:.0f} fps)", flush=True)
+
+
 def main():
     rng = np.random.default_rng(0)
     variant = sys.argv[1] if len(sys.argv) > 1 else "batched"
+    if variant == "stem2":
+        return main_stem2()
     for (b_sz, h, cin, cout, band) in ((32, 416, 3, 16, 16),
                                        (32, 208, 16, 32, 16),
                                        (1, 416, 3, 16, 16)):

@@ -250,8 +250,214 @@ def _stem_kernel_planar_rowdot(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref,
     jax.lax.fori_loop(0, n_bands, band_fn, 0)
 
 
+def _stem_kernel_planar2(x_ref, a0_ref, b0_ref, a1_ref, b1_ref, p0_ref,
+                         p1_ref, o_ref, xb, s0, y1, s1, sem, *,
+                         w_pad, cin, c_mid, c_out, k0_pad, k1,
+                         n_bands0, n_bands1, precision):
+    """Double-fused stem: TWO conv3x3+pool stages in one kernel — the
+    half-res intermediate lives in a VMEM scratch (``y1``) and never
+    touches HBM (nor the planar<->NHWC transposes between two single-
+    stage calls).
+
+    The input stays in HBM (``memory_space=ANY``): whole-image VMEM
+    blocks plus the resident intermediate exceed the 16 MB budget, so
+    stage-0 bands are DMA'd in with two revolving [cin, 24, W] buffers
+    (prefetch next while computing current).
+
+    ``y1`` layout bakes stage-1's halo: valid pooled row q at sublane
+    8+q (8 zero rows above keep every dynamic store/load offset a
+    multiple of 8), valid pooled col w at lane w+1 (a one-lane roll
+    after the pool select; the masked select matrix zeroes every
+    out-of-range column, so the roll wraps a zero into lane 0 and the
+    right halo is already zero). Stage-1 taps are then static slab
+    slices ``[u+7 : u+23]`` of an aligned 32-row load, exactly like the
+    single-stage kernel's ``[u : u+band]``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    a0 = a0_ref[...]                      # [c_mid, K0_pad]
+    bias0 = b0_ref[...]                   # [c_mid, 1]
+    a1 = a1_ref[...]                      # [c_out, K1]
+    bias1 = b1_ref[...]                   # [c_out, 1]
+    p0 = p0_ref[...]                      # [W, W/2] masked one-hot
+    p1 = p1_ref[...]                      # [W/2, W/4] masked one-hot
+    w_mid = w_pad // 2
+    w_out = w_pad // 4
+
+    if k0_pad > 9 * cin:
+        s0[9 * cin:] = jnp.zeros((k0_pad - 9 * cin, 16, w_pad),
+                                 jnp.float32)
+    # y1 halos: 8 alignment rows above, bottom halo + unwritten tail
+    y1[:, 0:8] = jnp.zeros((c_mid, 8, w_mid), jnp.float32)
+    tail = y1.shape[1] - (8 + 8 * n_bands0)
+    if tail:
+        y1[:, 8 + 8 * n_bands0:] = jnp.zeros((c_mid, tail, w_mid),
+                                             jnp.float32)
+
+    def in_dma(i, slot):
+        return pltpu.make_async_copy(
+            x_ref.at[b, :, pl.ds(16 * i, 24)], xb.at[slot], sem.at[slot])
+
+    in_dma(0, 0).start()
+
+    def band0(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_bands0)
+        def _():
+            in_dma(i + 1, 1 - slot).start()
+
+        in_dma(i, slot).wait()
+        for c in range(cin):
+            big = xb[slot, c]                              # [24, W]
+            for v in range(3):
+                bv = big if v == 0 else pltpu.roll(big, w_pad - v, 1)
+                for u in range(3):
+                    s0[c * 9 + u * 3 + v] = bv[u:u + 16]
+        z = s0[...].reshape(k0_pad, 16 * w_pad)
+        y = jax.lax.dot_general(
+            a0, z, (((1,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32)            # [c_mid, 16W]
+        y = y + bias0
+        y = jnp.where(y > 0, y, 0.1 * y)
+        y3 = y.reshape(c_mid, 8, 2 * w_pad)
+        rmax = jnp.maximum(y3[:, :, :w_pad], y3[:, :, w_pad:])
+        cmax = jnp.maximum(rmax, pltpu.roll(rmax, w_pad - 1, 2))
+        pooled = jax.lax.dot_general(
+            cmax.reshape(c_mid * 8, w_pad), p0, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        pooled = pltpu.roll(pooled.reshape(c_mid, 8, w_mid), 1, 2)
+        y1[:, pl.dslice(pl.multiple_of(8 + 8 * i, 8), 8)] = pooled
+        return 0
+
+    jax.lax.fori_loop(0, n_bands0, band0, 0)
+
+    def band1(i, _):
+        r1 = pl.multiple_of(16 * i, 8)
+        for c in range(c_mid):
+            big = y1[c, pl.dslice(r1, 32)]                 # [32, W/2]
+            for v in range(3):
+                bv = big if v == 0 else pltpu.roll(big, w_mid - v, 1)
+                for u in range(3):
+                    s1[c * 9 + u * 3 + v] = bv[u + 7:u + 23]
+        z = s1[...].reshape(k1, 16 * w_mid)
+        y = jax.lax.dot_general(
+            a1, z, (((1,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32)            # [c_out, 16W/2]
+        y = y + bias1
+        y = jnp.where(y > 0, y, 0.1 * y)
+        y3 = y.reshape(c_out, 8, 2 * w_mid)
+        rmax = jnp.maximum(y3[:, :, :w_mid], y3[:, :, w_mid:])
+        cmax = jnp.maximum(rmax, pltpu.roll(rmax, w_mid - 1, 2))
+        pooled = jax.lax.dot_general(
+            cmax.reshape(c_out * 8, w_mid), p1, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        o_ref[:, pl.dslice(pl.multiple_of(8 * i, 8), 8)] = pooled.reshape(
+            c_out, 8, w_out).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_bands1, band1, 0)
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _pool_select(w_pad, n_valid):
+    """[w_pad, w_pad//2] even-column one-hot with out-of-range columns
+    zeroed — the pool's strided lane select as one MXU pass, and the
+    mask keeps roll-wrapped halo lanes exactly zero."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (w_pad, w_pad // 2), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (w_pad, w_pad // 2), 1)
+    return ((row == 2 * col) & (col < n_valid)).astype(jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "out_dtype", "precision"))
+def fused_stem2_planar(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
+                       precision="highest"):
+    """Two fused stem stages in ONE Pallas call:
+
+    [N, H, W, C] -> [N, H/4, W/4, D1] ==
+        maxpool2(leaky(conv3x3_w1(maxpool2(leaky(conv3x3_w0(x) + b0)))
+                 + b1))
+
+    The half-res intermediate (the largest activation in the network
+    after the stage-0 pre-pool map) stays in VMEM — no HBM round trip
+    and no planar<->NHWC transposes between the stages. f32 arithmetic
+    on the MXU regardless of input dtype; ``out_dtype`` follows the
+    store ladder (f16 is cast outside the kernel — Mosaic has no f16).
+
+    Reference role: consecutive cuDNN fused conv+pool stem blocks,
+    ``module3_our_dataset/yolov3/models.py:12-79``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w_in, cin = x.shape
+    c_mid = w0.shape[3]
+    c_out = w1.shape[3]
+    assert w0.shape[:3] == (3, 3, cin), w0.shape
+    assert w1.shape[:3] == (3, 3, c_mid), w1.shape
+    assert h % 32 == 0 and w_in % 4 == 0, (h, w_in)
+    out_dtype = jnp.dtype(out_dtype or x.dtype)
+    store_dtype = (jnp.dtype(jnp.float32) if out_dtype == jnp.float16
+                   else out_dtype)
+    w_pad = _round_up(w_in + 2, 128)
+    assert w_pad // 2 >= w_in // 2 + 2, (w_pad, w_in)
+    k0_pad = _round_up(9 * cin, 8)
+    k1 = _round_up(9 * c_mid, 8)
+    assert k1 == 9 * c_mid, "c_mid*9 must be sublane-aligned"
+    n_bands0 = h // 16
+    n_bands1 = h // 2 // 16
+    h_mid = 16 * (n_bands1 - 1) + 32      # y1 rows: last aligned load
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+
+    xp = jnp.pad(x.astype(jnp.float32).transpose(0, 3, 1, 2),
+                 ((0, 0), (0, 0), (1, 7), (1, w_pad - w_in - 1)))
+    a0 = jnp.pad(w0.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
+        c_mid, 9 * cin), ((0, 0), (0, k0_pad - 9 * cin)))
+    a1 = w1.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(c_out, k1)
+
+    kernel = functools.partial(
+        _stem_kernel_planar2, w_pad=w_pad, cin=cin, c_mid=c_mid,
+        c_out=c_out, k0_pad=k0_pad, k1=k1, n_bands0=n_bands0,
+        n_bands1=n_bands1, precision=prec)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # x: HBM + DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, c_out, h // 4, w_pad // 4),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, c_out, h // 4, w_pad // 4),
+                                       store_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, cin, 24, w_pad), jnp.float32),      # xb
+            pltpu.VMEM((k0_pad, 16, w_pad), jnp.float32),      # s0
+            pltpu.VMEM((c_mid, h_mid, w_pad // 2), jnp.float32),  # y1
+            pltpu.VMEM((k1, 16, w_pad // 2), jnp.float32),     # s1
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, a0, b0.astype(jnp.float32).reshape(c_mid, 1), a1,
+      b1.astype(jnp.float32).reshape(c_out, 1),
+      _pool_select(w_pad, w_in // 2),
+      _pool_select(w_pad // 2, w_in // 4))
+    return (out[:, :, :, :w_in // 4].transpose(0, 2, 3, 1)
+            .astype(out_dtype))
 
 
 @functools.partial(jax.jit,
