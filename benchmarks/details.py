@@ -77,11 +77,13 @@ def main():
 
     def build(dtype, s2d=(), int8=False, int8_acts=False, hi_prec=(),
               hi_store=None, im2col=(), heads_dtype="float32",
-              pallas_stem=()):
+              pallas_stem=(), pallas_pair=False, pallas_prec="highest"):
         darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=s),
                           img_size=s, s2d_stages=s2d, hi_prec_stages=hi_prec,
                           hi_prec_store=hi_store, im2col_stages=im2col,
-                          pallas_stem_stages=pallas_stem)
+                          pallas_stem_stages=pallas_stem,
+                          pallas_stem_pair=pallas_pair,
+                          pallas_stem_precision=pallas_prec)
         cfg = FusionConfig(compute_dtype=dtype, heads_dtype=heads_dtype)
         model = FusionNetwork(darknet, cfg)
         cpu = g._init_device()
@@ -152,7 +154,16 @@ def main():
                 # stage 4 too (104px, auto band=8) — standalone stem
                 # bench won 1.9x at stages 0/1; s4 is the next largest
                 ("bfloat16", "pallas_stem_s4", (), False, False, (0, 2, 4),
-                 "float16", (), "bfloat16", (0, 2, 4)))
+                 "float16", (), "bfloat16", (0, 2, 4)),
+                # double-fused pair (ONE kernel for stages 0+2, VMEM-
+                # resident intermediate) with one-pass bf16 conv dots —
+                # on-chip standalone: 3493 us vs 8499 us XLA for the pair
+                ("bfloat16", "pallas_stem2", (), False, False, (0, 2, 4),
+                 "float16", (), "bfloat16", (0, 2), True, "default"),
+                # precision ablation: same pair at true-f32 dots
+                ("bfloat16", "pallas_stem2_hp", (), False, False,
+                 (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
+                 "highest"))
     global _DROPPED_STALE
     only = os.environ.get("MILLIEYE_ONLY")
     if only:
@@ -177,8 +188,11 @@ def main():
         im2col = rest[2] if len(rest) > 2 else ()
         heads_dtype = rest[3] if len(rest) > 3 else "float32"
         pallas_stem = rest[4] if len(rest) > 4 else ()
+        pallas_pair = rest[5] if len(rest) > 5 else False
+        pallas_prec = rest[6] if len(rest) > 6 else "highest"
         model, params, state = build(dtype, s2d, int8, acts, hi, hi_store,
-                                     im2col, heads_dtype, pallas_stem)
+                                     im2col, heads_dtype, pallas_stem,
+                                     pallas_pair, pallas_prec)
 
         def fwd(i, m, r, v):
             out = model.apply(params, state, i, m, r, v, mode=0)

@@ -107,6 +107,15 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
                         img_size=IMG, hi_prec_stages=(0, 2, 4),
                         hi_prec_store=jnp.float16,
                         pallas_stem_stages=(0, 2))
+    # double-fused pair with one-pass bf16 conv dots (f32 accumulate):
+    # the accuracy gate for the "default"-precision kernel — the r2
+    # diagnosis says bf16 hurt via STORES, not dots, so this should hold
+    pallas2_dn = Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                         img_size=IMG, hi_prec_stages=(0, 2, 4),
+                         hi_prec_store=jnp.float16,
+                         pallas_stem_stages=(0, 2),
+                         pallas_stem_pair=True,
+                         pallas_stem_precision="default")
     heads_cfg = FusionConfig(conf_thresh=0.2, pre_nms_top_k=512,
                              max_det=64, max_radar=16,
                              compute_dtype="bfloat16",
@@ -120,6 +129,8 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
                        dict(params, darknet=fp), "bfloat16"),
         "pallas_stem": (FusionNetwork(pallas_dn, heads_cfg),
                         dict(params, darknet=fp), "bfloat16"),
+        "pallas_stem2": (FusionNetwork(pallas2_dn, heads_cfg),
+                         dict(params, darknet=fp), "bfloat16"),
         "bf16_f32stem": (FusionNetwork(
             mixed_dn, FusionConfig(conf_thresh=0.2, pre_nms_top_k=512,
                                    max_det=64, max_radar=16,

@@ -22,12 +22,15 @@ def build_darknet(model_cfg=None, num_classes=12, img_size=416,
 
 
 def build_fusion(args_cfg=None, s2d_stages=(), hi_prec_stages=(),
-                 hi_prec_store=None, pallas_stem=(), **overrides):
+                 hi_prec_store=None, pallas_stem=(), pallas_pair=False,
+                 pallas_precision="highest", **overrides):
     darknet = build_darknet(getattr(args_cfg, "model_def", None),
                             img_size=getattr(args_cfg, "img_size", 416),
                             s2d_stages=s2d_stages)
     darknet.hi_prec_stages = tuple(hi_prec_stages)
     darknet.pallas_stem_stages = tuple(pallas_stem)
+    darknet.pallas_stem_pair = bool(pallas_pair)
+    darknet.pallas_stem_precision = pallas_precision
     if hi_prec_store is not None:
         import jax.numpy as jnp
         darknet.hi_prec_store = jnp.dtype(hi_prec_store)
@@ -60,6 +63,14 @@ SERVING_PRESETS = {
     "pallas_stem": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
                     "hi_store": "float16", "heads_dtype": "bfloat16",
                     "pallas": (0, 2)},
+    # double-fused pair: stages 0+2 in ONE kernel, the half-res
+    # intermediate stays in VMEM (no HBM trip, no planar transposes
+    # between the stages); one-pass bf16 conv products with f32
+    # accumulate (stores stay f16 — the dark-mAP-critical knob)
+    "pallas_stem2": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                     "hi_store": "float16", "heads_dtype": "bfloat16",
+                     "pallas": (0, 2), "pallas_pair": True,
+                     "pallas_precision": "default"},
     "s2d": {"s2d": True},
     "bf16_s2d": {"compute_dtype": "bfloat16", "s2d": True},
     "int8": {"s2d": True, "weights_int8": True},
@@ -68,14 +79,19 @@ SERVING_PRESETS = {
 
 
 def serving_overrides(name):
-    """(s2d_stages, hi_prec_stages, hi_prec_store, pallas_stem_stages,
-    cfg overrides)."""
+    """(s2d_stages, hi_prec_stages, hi_prec_store, pallas_kw,
+    cfg overrides) — ``pallas_kw`` holds the build_fusion pallas
+    options (pallas_stem / pallas_pair / pallas_precision)."""
     preset = dict(SERVING_PRESETS[name])
     s2d = (0, 2) if preset.pop("s2d", False) else ()
     hi = tuple(preset.pop("hi_prec", ()))
     store = preset.pop("hi_store", None)
-    pallas = tuple(preset.pop("pallas", ()))
-    return s2d, hi, store, pallas, preset
+    pallas_kw = {
+        "pallas_stem": tuple(preset.pop("pallas", ())),
+        "pallas_pair": bool(preset.pop("pallas_pair", False)),
+        "pallas_precision": preset.pop("pallas_precision", "highest"),
+    }
+    return s2d, hi, store, pallas_kw, preset
 
 
 def build_refine(args_cfg=None, **overrides):

@@ -48,10 +48,11 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    s2d, hi_prec, hi_store, pallas, over = serving_overrides(args.serving)
+    s2d, hi_prec, hi_store, pallas_kw, over = serving_overrides(
+        args.serving)
     model, params, state = build_fusion(
         args, s2d_stages=s2d, hi_prec_stages=hi_prec,
-        hi_prec_store=hi_store, pallas_stem=pallas,
+        hi_prec_store=hi_store, **pallas_kw,
         refine_threshold_radar=args.refine_threshold_radar, **over)
     if args.weights:
         params, state = _load_fusion(model, params, state, args.weights)

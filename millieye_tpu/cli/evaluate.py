@@ -93,11 +93,11 @@ def main(argv=None):
 
     if args.what == "fusion":
         from millieye_tpu.cli._common import serving_overrides
-        s2d, hi_prec, hi_store, pallas, over = serving_overrides(
+        s2d, hi_prec, hi_store, pallas_kw, over = serving_overrides(
             args.serving)
         model, params, state = build_fusion(
             args, s2d_stages=s2d, hi_prec_stages=hi_prec,
-            hi_prec_store=hi_store, pallas_stem=pallas,
+            hi_prec_store=hi_store, **pallas_kw,
             conf_thresh=args.conf_thresh,
             nms_thresh=args.nms_thresh, **over)
         params, state = _load_fusion(model, params, state, args.weights)

@@ -188,7 +188,8 @@ class Darknet:
 
     def __init__(self, config, img_size=416, feature_tap=8, s2d_stages=(),
                  hi_prec_stages=(), hi_prec_store=None, im2col_stages=(),
-                 pallas_stem_stages=(), pallas_stem_variant="batched"):
+                 pallas_stem_stages=(), pallas_stem_variant="batched",
+                 pallas_stem_pair=False, pallas_stem_precision="highest"):
         if isinstance(config, (str,)):
             config = parse_model_config(config)
         self.hyperparams = config[0]
@@ -202,6 +203,24 @@ class Darknet:
         # conv output never touches HBM — inference path, folded BN only
         self.pallas_stem_stages = tuple(pallas_stem_stages)
         self.pallas_stem_variant = pallas_stem_variant
+        # double-fused pair (ops/stem_pallas.py:fused_stem2_planar): the
+        # FIRST two pallas stages run as ONE kernel — the half-res
+        # intermediate never leaves VMEM, so its hi_prec_store slot is
+        # moot and stage lo+1..lo+3 become pass-throughs at inference
+        self.pallas_stem_pair = bool(pallas_stem_pair)
+        # conv-dot MXU passes inside the kernels ("highest"/"high"/
+        # "default") — on-chip the dots dominate, and one-pass bf16
+        # products with f32 accumulate ("default") run the fused pair
+        # 2.4x faster than the XLA stages; stores stay on the hi_prec
+        # ladder either way (the dark-mAP-critical knob)
+        self.pallas_stem_precision = pallas_stem_precision
+        if self.pallas_stem_pair:
+            lo = min(self.pallas_stem_stages, default=0)
+            if (lo, lo + 2) != tuple(sorted(self.pallas_stem_stages))[:2]:
+                raise ValueError("pallas_stem_pair needs two consecutive "
+                                 "fused stages (lo, lo+2) in "
+                                 f"pallas_stem_stages, got "
+                                 f"{self.pallas_stem_stages}")
         overlap = (set(self.s2d_stages) & set(self.im2col_stages)
                    | set(self.s2d_stages) & set(self.pallas_stem_stages)
                    | set(self.im2col_stages) & set(self.pallas_stem_stages))
@@ -299,6 +318,14 @@ class Darknet:
             if i in referenced or i == self.feature_tap:
                 raise ValueError(f"block {i} is route/tap-referenced; "
                                  "stem fusion would change its resolution")
+        if self.pallas_stem_pair and self.pallas_stem_stages:
+            lo = min(self.pallas_stem_stages)
+            for j in (lo + 1, lo + 3):
+                # the pair's pass-through slots hold the pair output, not
+                # the real intermediates — nothing may read them
+                if j in referenced or j == self.feature_tap:
+                    raise ValueError(f"block {j} is route/tap-referenced; "
+                                     "cannot double-fuse the stem pair")
 
     # -- parameters ----------------------------------------------------------
     def init(self, rng):
@@ -405,10 +432,39 @@ class Darknet:
             return (j in self.pallas_stem_stages and not train
                     and "gamma" not in params[j] and "w" in params[j])
 
+        pair_lo, pair_skip = -1, ()
+        if (self.pallas_stem_pair and self.pallas_stem_stages
+                and not collect_act_stats):
+            lo = min(self.pallas_stem_stages)
+            if _pallas_fused(lo) and _pallas_fused(lo + 2):
+                pair_lo, pair_skip = lo, (lo + 1, lo + 2, lo + 3)
+
         for i, info in enumerate(self._plan):
             t = info["type"]
             p = params[i]
-            if t == "convolutional" and _pallas_fused(i):
+            if i in pair_skip:
+                x = outputs[-1]   # consumed by the double-fused pair
+            elif i == pair_lo:
+                from millieye_tpu.ops.stem_pallas import fused_stem2_planar
+                xin = outputs[-1] if outputs else images
+                assert (info["act"] == "leaky"
+                        and self._plan[i + 2]["act"] == "leaky"), \
+                    "stem kernel bakes leaky"
+                p2 = params[i + 2]
+                # store ladder of the pair's FINAL conv (the intermediate
+                # never stores); f16 handled inside the wrapper
+                store = (self.hi_prec_store
+                         if (i + 2 in self.hi_prec_stages
+                             and self.hi_prec_store is not None)
+                         else (jnp.float32 if i + 2 in self.hi_prec_stages
+                               else compute_dtype))
+                x = fused_stem2_planar(
+                    xin.astype(jnp.float32), p["w"], p["b"],
+                    p2["w"], p2["b"],
+                    interpret=jax.default_backend() != "tpu",
+                    out_dtype=jnp.dtype(store),
+                    precision=self.pallas_stem_precision)
+            elif t == "convolutional" and _pallas_fused(i):
                 from millieye_tpu.ops.stem_pallas import fused_stem_planar
                 xin = outputs[-1] if outputs else images
                 if collect_act_stats:
@@ -427,7 +483,8 @@ class Darknet:
                     xin.astype(jnp.float32), p["w"], p["b"],
                     variant=self.pallas_stem_variant,
                     interpret=jax.default_backend() != "tpu",
-                    out_dtype=jnp.dtype(store))
+                    out_dtype=jnp.dtype(store),
+                    precision=self.pallas_stem_precision)
             elif t == "convolutional" and "wi" in p:
                 # im2col-fused conv+pool stage (see im2col_stem_weight):
                 # 16 spatial slices -> one full-lane matmul -> phase-max

@@ -367,6 +367,18 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+# conv-dot MXU passes: "highest" = true f32 (exact vs the XLA f32 stage),
+# "high" = 3-pass bf16 (near-f32), "default" = one-pass bf16 products
+# with f32 accumulate. On-chip (b32, both stem stages): highest 5015 us,
+# default 3493 us vs 8499 us for the default-precision XLA stages — the
+# dots, not the VMEM copies, dominate the kernel. The pool's one-hot
+# select matmul is always HIGHEST (anything less rounds the selected
+# VALUES to bf16).
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+               "high": jax.lax.Precision.HIGH,
+               "default": jax.lax.Precision.DEFAULT}
+
+
 def _pool_select(w_pad, n_valid):
     """[w_pad, w_pad//2] even-column one-hot with out-of-range columns
     zeroed — the pool's strided lane select as one MXU pass, and the
@@ -415,8 +427,7 @@ def fused_stem2_planar(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     n_bands0 = h // 16
     n_bands1 = h // 2 // 16
     h_mid = 16 * (n_bands1 - 1) + 32      # y1 rows: last aligned load
-    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.DEFAULT)
+    prec = _PRECISIONS[precision]
 
     xp = jnp.pad(x.astype(jnp.float32).transpose(0, 3, 1, 2),
                  ((0, 0), (0, 0), (1, 7), (1, w_pad - w_in - 1)))
@@ -432,7 +443,7 @@ def fused_stem2_planar(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
         kernel,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # x: HBM + DMA
+            pl.BlockSpec(memory_space=pl.ANY),             # x: HBM + DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -503,8 +514,7 @@ def fused_stem_planar(x, w, b, band=None, interpret=False, out_dtype=None,
     w_pad = _round_up(w_in + 2, 128)
     k_pad = _round_up(9 * cin, 8)
     assert variant in ("batched", "rowdot"), variant
-    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.DEFAULT)
+    prec = _PRECISIONS[precision]
 
     # rows padded 1 above + 7 below: the kernel loads aligned
     # (band+8)-row blocks, so the last band reads 6 rows past the halo

@@ -47,21 +47,31 @@ def _write_calib(path):
         yaml.safe_dump(doc, f)
 
 
+_NO_PALLAS = {"pallas_stem": (), "pallas_pair": False,
+              "pallas_precision": "highest"}
+
+
 def test_serving_overrides_shape():
-    assert serving_overrides("f32") == ((), (), None, (), {})
-    s2d, hi, store, pallas, over = serving_overrides("int8_acts")
+    assert serving_overrides("f32") == ((), (), None, _NO_PALLAS, {})
+    s2d, hi, store, pkw, over = serving_overrides("int8_acts")
     assert s2d == (0, 2) and hi == () and store is None
     assert over == {"weights_int8": True, "acts_int8": True}
-    s2d, hi, store, pallas, over = serving_overrides("bf16_f16stem")
+    s2d, hi, store, pkw, over = serving_overrides("bf16_f16stem")
     assert s2d == () and hi == (0, 2, 4) and store == "float16"
     assert over == {"compute_dtype": "bfloat16"}
     assert set(SERVING_PRESETS) == {"f32", "bf16", "bf16_f16stem",
                                     "bf16_f32stem", "bf16_heads",
-                                    "pallas_stem", "s2d", "bf16_s2d",
-                                    "int8", "int8_acts"}
-    s2d, hi, store, pallas, over = serving_overrides("pallas_stem")
-    assert pallas == (0, 2) and over["heads_dtype"] == "bfloat16"
-    s2d, hi, store, pallas, over = serving_overrides("bf16_heads")
+                                    "pallas_stem", "pallas_stem2", "s2d",
+                                    "bf16_s2d", "int8", "int8_acts"}
+    s2d, hi, store, pkw, over = serving_overrides("pallas_stem")
+    assert pkw == {"pallas_stem": (0, 2), "pallas_pair": False,
+                   "pallas_precision": "highest"}
+    assert over["heads_dtype"] == "bfloat16"
+    s2d, hi, store, pkw, over = serving_overrides("pallas_stem2")
+    assert pkw == {"pallas_stem": (0, 2), "pallas_pair": True,
+                   "pallas_precision": "default"}
+    assert store == "float16"
+    s2d, hi, store, pkw, over = serving_overrides("bf16_heads")
     assert s2d == () and hi == (0, 2, 4) and store == "float16"
     assert over == {"compute_dtype": "bfloat16",
                     "heads_dtype": "bfloat16"}

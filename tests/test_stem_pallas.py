@@ -100,11 +100,77 @@ def test_darknet_pallas_stem_matches_plain():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_fused_stem2_matches_two_stages():
+    """Double-fused kernel == two XLA conv+pool stages (interpret),
+    incl. the DMA input path, halo layout, and f16 store."""
+    from millieye_tpu.ops.stem_pallas import fused_stem2_planar
+
+    rng = np.random.default_rng(3)
+    n, h, cin, cmid, cout = 1, 64, 3, 8, 16
+    x = jnp.asarray(rng.uniform(-1, 1, (n, h, h, cin)), jnp.float32)
+    w0 = jnp.asarray(0.3 * rng.standard_normal((3, 3, cin, cmid)),
+                     jnp.float32)
+    b0 = jnp.asarray(0.1 * rng.standard_normal(cmid), jnp.float32)
+    w1 = jnp.asarray(0.3 * rng.standard_normal((3, 3, cmid, cout)),
+                     jnp.float32)
+    b1 = jnp.asarray(0.1 * rng.standard_normal(cout), jnp.float32)
+    ref = _plain(_plain(x, w0, b0), w1, b1)
+    got = fused_stem2_planar(x, w0, b0, w1, b1, interpret=True)
+    assert got.shape == (n, h // 4, h // 4, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4)
+    g16 = fused_stem2_planar(x, w0, b0, w1, b1, interpret=True,
+                             out_dtype=jnp.float16)
+    assert g16.dtype == jnp.float16
+    np.testing.assert_allclose(np.asarray(g16, dtype=np.float32),
+                               np.asarray(ref), atol=2e-2)
+
+
+def test_darknet_pallas_stem_pair_matches_plain():
+    """Darknet(pallas_stem_pair=True): stages 0+2 run as ONE kernel, the
+    pass-through slots don't disturb the rest of the graph, and unfolded
+    params fall back to XLA."""
+    import jax
+    from millieye_tpu.models import Darknet, tiny_yolov3_defs
+
+    S = 64
+    defs = tiny_yolov3_defs(num_classes=12, img_size=S)
+    plain_net = Darknet(defs, img_size=S)
+    pair_net = Darknet(defs, img_size=S, pallas_stem_stages=(0, 2),
+                       pallas_stem_pair=True)
+    params, state = plain_net.init(jax.random.PRNGKey(0))
+    fp, fs = plain_net.fold_batchnorm(params, state)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(2, S, S, 3)), jnp.float32)
+    ref = plain_net.apply(fp, fs, x)
+    got = pair_net.apply(fp, fs, x)
+    np.testing.assert_allclose(np.asarray(got["feature_map"]),
+                               np.asarray(ref["feature_map"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["detections"]),
+                               np.asarray(ref["detections"]),
+                               rtol=1e-4, atol=1e-3)
+    # unfolded params: pair must NOT engage
+    got2 = pair_net.apply(params, state, x)
+    ref2 = plain_net.apply(params, state, x)
+    np.testing.assert_allclose(np.asarray(got2["detections"]),
+                               np.asarray(ref2["detections"]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_stem_pair_validation():
+    from millieye_tpu.models import Darknet, tiny_yolov3_defs
+    with pytest.raises(ValueError, match="consecutive"):
+        Darknet(tiny_yolov3_defs(num_classes=12, img_size=64), img_size=64,
+                pallas_stem_stages=(0, 4), pallas_stem_pair=True)
+
+
 def test_serving_preset_pallas_stem_builds():
     from millieye_tpu.cli._common import build_fusion, serving_overrides
-    s2d, hi, store, pallas, over = serving_overrides("pallas_stem")
+    s2d, hi, store, pallas_kw, over = serving_overrides("pallas_stem")
     model, params, state = build_fusion(
         None, s2d_stages=s2d, hi_prec_stages=hi, hi_prec_store=store,
-        pallas_stem=pallas, conf_thresh=0.05, max_det=16, max_radar=4,
-        pre_nms_top_k=64, nms_use_pallas=False, **over)
+        **pallas_kw, conf_thresh=0.05, max_det=16,
+        max_radar=4, pre_nms_top_k=64, nms_use_pallas=False, **over)
     assert model.darknet.pallas_stem_stages == (0, 2)
