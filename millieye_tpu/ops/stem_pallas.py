@@ -185,7 +185,7 @@ def _stem_kernel_planar(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref, *,
         pooled = jax.lax.dot_general(
             cmax.reshape(cout * half, w_pad), psel,
             (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_select_precision(precision),
             preferred_element_type=jnp.float32)            # [D*half, W/2]
         o_ref[:, pl.dslice(half * i, half)] = pooled.reshape(
             cout, half, w_pad // 2).astype(o_ref.dtype)
@@ -242,7 +242,7 @@ def _stem_kernel_planar_rowdot(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref,
             cmax = jnp.maximum(rmax, pltpu.roll(rmax, w_pad - 1, 1))
             y_ref[:, o, :] = jax.lax.dot_general(
                 cmax, psel, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_select_precision(precision),
                 preferred_element_type=jnp.float32)        # [D, W_pad/2]
         o_ref[:, pl.dslice(half * i, half)] = y_ref[...].astype(o_ref.dtype)
         return 0
@@ -327,7 +327,7 @@ def _stem_kernel_planar2(x_ref, a0_ref, b0_ref, a1_ref, b1_ref, p0_ref,
         cmax = jnp.maximum(rmax, pltpu.roll(rmax, w_pad - 1, 2))
         pooled = jax.lax.dot_general(
             cmax.reshape(c_mid * 8, w_pad), p0, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_select_precision(precision),
             preferred_element_type=jnp.float32)
         pooled = pltpu.roll(pooled.reshape(c_mid, 8, w_mid), 1, 2)
         y1[:, pl.dslice(pl.multiple_of(8 + 8 * i, 8), 8)] = pooled
@@ -354,7 +354,7 @@ def _stem_kernel_planar2(x_ref, a0_ref, b0_ref, a1_ref, b1_ref, p0_ref,
         cmax = jnp.maximum(rmax, pltpu.roll(rmax, w_mid - 1, 2))
         pooled = jax.lax.dot_general(
             cmax.reshape(c_out * 8, w_mid), p1, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_select_precision(precision),
             preferred_element_type=jnp.float32)
         o_ref[:, pl.dslice(pl.multiple_of(8 * i, 8), 8)] = pooled.reshape(
             c_out, 8, w_out).astype(o_ref.dtype)
@@ -371,12 +371,25 @@ def _round_up(x, m):
 # "high" = 3-pass bf16 (near-f32), "default" = one-pass bf16 products
 # with f32 accumulate. On-chip (b32, both stem stages): highest 5015 us,
 # default 3493 us vs 8499 us for the default-precision XLA stages — the
-# dots, not the VMEM copies, dominate the kernel. The pool's one-hot
-# select matmul is always HIGHEST (anything less rounds the selected
-# VALUES to bf16).
+# dots, not the VMEM copies, dominate the kernel.
 _PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
                "high": jax.lax.Precision.HIGH,
                "default": jax.lax.Precision.DEFAULT}
+
+
+def _select_precision(conv_prec):
+    """MXU passes for the pool's one-hot select matmul.
+
+    At ``highest`` conv dots the select stays HIGHEST (6-pass): the
+    kernel's bit-exactness property vs the f32 XLA stage. Otherwise
+    HIGH (3-pass bf16): the one-hot side splits exactly (hi(s)=s,
+    lo(s)=0), so the select reproduces hi(v)+lo(v) — a ~2^-16 relative
+    error, far below both the f16 store step (2^-11) and the conv dots'
+    own bf16 rounding, at half the HIGHEST pass count. DEFAULT (1-pass)
+    would round the selected VALUES to bf16 — never used."""
+    return (jax.lax.Precision.HIGHEST
+            if conv_prec == jax.lax.Precision.HIGHEST
+            else jax.lax.Precision.HIGH)
 
 
 def _pool_select(w_pad, n_valid):
