@@ -30,6 +30,80 @@ import __graft_entry__ as g  # noqa: F401  (compile cache)
 from benchmarks.backbone_profile import bench_scanned
 
 
+def _tail_profile(model, params, state, x, maps, rb, rmask, cd, results,
+                  b, dtype):
+    """Decompose the RoI+heads tail (``full - backbone_nms``) into
+    score-map convs / RoI crops / head matmuls; the remainder is decode,
+    box regression and the priority sort. Run with ``tail`` argv.
+
+    bf16_heads barely moves the e2e number (BENCH_DETAILS: 3200 -> 3223
+    fps b32), so the tail is overhead-bound, not FLOP-bound — this
+    pinpoints which stage to attack.
+    """
+    from millieye_tpu.models import heads
+    from millieye_tpu.ops.nms import batched_nms
+    from millieye_tpu.ops.roi_align import (ps_roi_align_batched,
+                                            roi_align_batched)
+
+    cfg = model.cfg
+    b_sz, img_size = x.shape[0], x.shape[1]
+    k_img, r_rad = cfg.max_det, cfg.max_radar
+
+    # device-resident intermediates, computed once
+    d_out = jax.jit(lambda img: model.darknet.apply(
+        params["darknet"], state["darknet"], img, compute_dtype=cd))(x)
+    feature_map = d_out["feature_map"]
+    det, det_valid = jax.jit(lambda d: batched_nms(
+        d, cfg.conf_thresh, cfg.nms_thresh, max_det=k_img,
+        pre_top_k=cfg.pre_nms_top_k))(d_out["detections"])
+    all_xyxy = jnp.concatenate([det[:, :, 0:4], rb * img_size], axis=1)
+    flat_valid = jnp.concatenate(
+        [det_valid, rmask], axis=1).reshape(-1)
+
+    def score_maps(fm):
+        roi_sm, _ = heads.conv_bn_stack_apply(
+            params["img_cnn"], state["img_cnn"], fm, False)
+        rad_sm, _ = heads.radar_encoder_apply(
+            params["radar_enc"], state["radar_enc"], maps, False)
+        return roi_sm + 0.0 * rad_sm[:, :1, :1, :1]
+
+    roi_sm = jax.jit(score_maps)(feature_map)
+    rad_sm = jax.jit(lambda m: heads.radar_encoder_apply(
+        params["radar_enc"], state["radar_enc"], m, False)[0])(maps)
+
+    def roi_crops(sm):
+        ic = ps_roi_align_batched(sm, all_xyxy, (7, 7), 1.0 / 16,
+                                  sampling_max=cfg.sampling_max)
+        rc = roi_align_batched(rad_sm, all_xyxy, (7, 7), 1.0 / 16,
+                               sampling_max=cfg.sampling_max)
+        return ic + 0.0 * rc[:, :, :1, :1, :1]
+
+    img_crop = jax.jit(lambda sm: ps_roi_align_batched(
+        sm, all_xyxy, (7, 7), 1.0 / 16,
+        sampling_max=cfg.sampling_max))(roi_sm).reshape(
+            b_sz * (k_img + r_rad), 7, 7, -1)
+    radar_crop = jax.jit(lambda sm: roi_align_batched(
+        sm, all_xyxy, (7, 7), 1.0 / 16,
+        sampling_max=cfg.sampling_max))(rad_sm).reshape(
+            b_sz * (k_img + r_rad), 7, 7, -1)
+
+    def head_stack(ic):
+        regress, refine, _ = heads.refinement_head_apply(
+            params["refine"], state["refine"], radar_crop, ic,
+            valid=flat_valid.astype(ic.dtype), train=False,
+            class_num=cfg.class_num)
+        return regress + 0.0 * refine[:, :1]
+
+    for name, fn, arg in (("score_maps", score_maps, feature_map),
+                          ("roi_crops", roi_crops, roi_sm),
+                          ("heads", head_stack, img_crop)):
+        t = bench_scanned(fn, arg, k=10)
+        key = f"fusion_tail_{dtype}_b{b}_{name}_us"
+        results[key] = round(t * 1e6, 1)
+        print(f"{key}: {results[key]}", flush=True)
+    return results
+
+
 def main(b=32, dtype="bfloat16"):
     from millieye_tpu.models import Darknet, tiny_yolov3_defs
     from millieye_tpu.models.fusion import FusionConfig, FusionNetwork
@@ -89,6 +163,16 @@ def main(b=32, dtype="bfloat16"):
     print(f"attribution: backbone "
           f"{results[f'fusion_profile_{dtype}_b{b}_backbone_us']} us, "
           f"nms {nms:.1f} us, roi+heads {tail:.1f} us", flush=True)
+
+    if "tail" in sys.argv:
+        _tail_profile(model, params, state, x, maps, rb, rmask, cd,
+                      results, b, dtype)
+        known = sum(results[f"fusion_tail_{dtype}_b{b}_{n}_us"]
+                    for n in ("score_maps", "roi_crops", "heads"))
+        results[f"fusion_tail_{dtype}_b{b}_residual_us"] = round(
+            tail - known, 1)
+        print(f"tail residual (decode/regress/sort): {tail - known:.1f} us",
+              flush=True)
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_DETAILS.json")
