@@ -182,11 +182,9 @@ def _stem_kernel_planar(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref, *,
         y3 = y.reshape(cout, half, 2 * w_pad)
         rmax = jnp.maximum(y3[:, :, :w_pad], y3[:, :, w_pad:])
         cmax = jnp.maximum(rmax, pltpu.roll(rmax, w_pad - 1, 2))
-        pooled = jax.lax.dot_general(
+        pooled = _pool_select_dot(
             cmax.reshape(cout * half, w_pad), psel,
-            (((1,), (0,)), ((), ())),
-            precision=_select_precision(precision),
-            preferred_element_type=jnp.float32)            # [D*half, W/2]
+            precision)                                     # [D*half, W/2]
         o_ref[:, pl.dslice(half * i, half)] = pooled.reshape(
             cout, half, w_pad // 2).astype(o_ref.dtype)
         return 0
@@ -240,10 +238,8 @@ def _stem_kernel_planar_rowdot(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref,
                 ys.append(jnp.where(y > 0, y, 0.1 * y))
             rmax = jnp.maximum(ys[0], ys[1])
             cmax = jnp.maximum(rmax, pltpu.roll(rmax, w_pad - 1, 1))
-            y_ref[:, o, :] = jax.lax.dot_general(
-                cmax, psel, (((1,), (0,)), ((), ())),
-                precision=_select_precision(precision),
-                preferred_element_type=jnp.float32)        # [D, W_pad/2]
+            y_ref[:, o, :] = _pool_select_dot(
+                cmax, psel, precision)                     # [D, W_pad/2]
         o_ref[:, pl.dslice(half * i, half)] = y_ref[...].astype(o_ref.dtype)
         return 0
 
@@ -325,10 +321,8 @@ def _stem_kernel_planar2(x_ref, a0_ref, b0_ref, a1_ref, b1_ref, p0_ref,
         y3 = y.reshape(c_mid, 8, 2 * w_pad)
         rmax = jnp.maximum(y3[:, :, :w_pad], y3[:, :, w_pad:])
         cmax = jnp.maximum(rmax, pltpu.roll(rmax, w_pad - 1, 2))
-        pooled = jax.lax.dot_general(
-            cmax.reshape(c_mid * 8, w_pad), p0, (((1,), (0,)), ((), ())),
-            precision=_select_precision(precision),
-            preferred_element_type=jnp.float32)
+        pooled = _pool_select_dot(
+            cmax.reshape(c_mid * 8, w_pad), p0, precision)
         pooled = pltpu.roll(pooled.reshape(c_mid, 8, w_mid), 1, 2)
         y1[:, pl.dslice(pl.multiple_of(8 + 8 * i, 8), 8)] = pooled
         return 0
@@ -352,10 +346,8 @@ def _stem_kernel_planar2(x_ref, a0_ref, b0_ref, a1_ref, b1_ref, p0_ref,
         y3 = y.reshape(c_out, 8, 2 * w_mid)
         rmax = jnp.maximum(y3[:, :, :w_mid], y3[:, :, w_mid:])
         cmax = jnp.maximum(rmax, pltpu.roll(rmax, w_mid - 1, 2))
-        pooled = jax.lax.dot_general(
-            cmax.reshape(c_out * 8, w_mid), p1, (((1,), (0,)), ((), ())),
-            precision=_select_precision(precision),
-            preferred_element_type=jnp.float32)
+        pooled = _pool_select_dot(
+            cmax.reshape(c_out * 8, w_mid), p1, precision)
         o_ref[:, pl.dslice(pl.multiple_of(8 * i, 8), 8)] = pooled.reshape(
             c_out, 8, w_out).astype(o_ref.dtype)
         return 0
@@ -368,28 +360,42 @@ def _round_up(x, m):
 
 
 # conv-dot MXU passes: "highest" = true f32 (exact vs the XLA f32 stage),
-# "high" = 3-pass bf16 (near-f32), "default" = one-pass bf16 products
-# with f32 accumulate. On-chip (b32, both stem stages): highest 5015 us,
-# default 3493 us vs 8499 us for the default-precision XLA stages — the
-# dots, not the VMEM copies, dominate the kernel.
+# "default" = one-pass bf16 products with f32 accumulate. On-chip (b32,
+# both stem stages): highest 5015 us, default 3493 us vs 8499 us for the
+# default-precision XLA stages — the dots, not the VMEM copies, dominate
+# the kernel. Precision.HIGH is NOT offered: Mosaic's dot lowering
+# raises "Unsupported dot precision: HIGH" (only DEFAULT/HIGHEST lower).
 _PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
-               "high": jax.lax.Precision.HIGH,
                "default": jax.lax.Precision.DEFAULT}
 
 
-def _select_precision(conv_prec):
-    """MXU passes for the pool's one-hot select matmul.
+def _pool_select_dot(v, psel, conv_prec):
+    """The pool's even-column one-hot select as MXU passes.
 
-    At ``highest`` conv dots the select stays HIGHEST (6-pass): the
-    kernel's bit-exactness property vs the f32 XLA stage. Otherwise
-    HIGH (3-pass bf16): the one-hot side splits exactly (hi(s)=s,
-    lo(s)=0), so the select reproduces hi(v)+lo(v) — a ~2^-16 relative
-    error, far below both the f16 store step (2^-11) and the conv dots'
-    own bf16 rounding, at half the HIGHEST pass count. DEFAULT (1-pass)
-    would round the selected VALUES to bf16 — never used."""
-    return (jax.lax.Precision.HIGHEST
-            if conv_prec == jax.lax.Precision.HIGHEST
-            else jax.lax.Precision.HIGH)
+    At ``highest`` conv dots: one HIGHEST (6-pass) matmul — the kernel's
+    bit-exactness property vs the f32 XLA stage. Otherwise a manual
+    hi/lo split into TWO 1-pass DEFAULT matmuls: ``v_hi`` is exactly
+    bf16 so its product is exact, ``v_lo`` carries the remainder with
+    ~2^-16 relative error — far below both the f16 store step (2^-11)
+    and the conv dots' own bf16 rounding, at a third of the HIGHEST
+    pass count. (A single DEFAULT select would round the selected
+    VALUES to bf16 — the dark-mAP store problem — and Mosaic cannot
+    lower Precision.HIGH, hence the manual split.)"""
+    if conv_prec == jax.lax.Precision.HIGHEST:
+        return jax.lax.dot_general(
+            v, psel, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    v_hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = jax.lax.dot_general(
+        v - v_hi, psel, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+    hi = jax.lax.dot_general(
+        v_hi, psel, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+    return hi + lo
 
 
 def _pool_select(w_pad, n_valid):
