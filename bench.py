@@ -39,8 +39,8 @@ def _baseline_fps():
     return fps
 
 
-def _warm(retry_ok=True):
-    """Build + compile + one warmed call; returns (step, args).
+def _warm_one(serving, retry_ok=True):
+    """Build + compile + one warmed call of a preset; (step, args).
 
     On a FAILED_PRECONDITION TPU backend error (stale/foreign persistent-
     cache entry or a flaky relay fetch — the BENCH_r02 failure mode),
@@ -51,7 +51,7 @@ def _warm(retry_ok=True):
     from __graft_entry__ import bench_entry as entry
 
     try:
-        fn, args = entry()
+        fn, args = entry(serving=serving)
         step = jax.jit(fn)
         # Compile + warm-up barrier: through the axon relay,
         # block_until_ready can return EARLY while the remote compile is
@@ -68,11 +68,29 @@ def _warm(retry_ok=True):
             shutil.rmtree(cache_dir, ignore_errors=True)
         jax.config.update("jax_compilation_cache_dir", None)
         jax.clear_caches()
-        return _warm(retry_ok=False)
+        return _warm_one(serving, retry_ok=False)
+
+
+def _warm(presets=("pallas_stem2", "f32")):
+    """First preset that builds+compiles wins: the flagship serving
+    config normally, the plain-f32 parity config as a driver-proof
+    fallback (a Mosaic/libtpu regression must degrade the number, not
+    zero it)."""
+    last = None
+    for serving in presets:
+        try:
+            step, args = _warm_one(serving)
+            return step, args, serving
+        except Exception as e:                  # noqa: BLE001
+            last = e
+            import sys
+            print(f"# preset {serving} failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr, flush=True)
+    raise last
 
 
 def main():
-    step, args = _warm()
+    step, args, serving = _warm()
     # best of several measurement windows: the tunnel adds bursty host
     # jitter that a single window conflates with device time
     iters, windows = 100, 3
@@ -92,6 +110,7 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(vs, 2),
+        "config": serving,
     }))
 
 
