@@ -60,16 +60,20 @@ def _tail_profile(model, params, state, x, maps, rb, rmask, cd, results,
     flat_valid = jnp.concatenate(
         [det_valid, rmask], axis=1).reshape(-1)
 
+    # mirror fusion.py:190 — the feature map is cast to the heads dtype
+    # (f32 by default) before the score-map convs
+    hd = jnp.dtype(cfg.heads_dtype)
+
     def score_maps(fm):
         roi_sm, _ = heads.conv_bn_stack_apply(
-            params["img_cnn"], state["img_cnn"], fm, False)
+            params["img_cnn"], state["img_cnn"], fm.astype(hd), False)
         rad_sm, _ = heads.radar_encoder_apply(
-            params["radar_enc"], state["radar_enc"], maps, False)
+            params["radar_enc"], state["radar_enc"], maps.astype(hd), False)
         return roi_sm + 0.0 * rad_sm[:, :1, :1, :1]
 
     roi_sm = jax.jit(score_maps)(feature_map)
     rad_sm = jax.jit(lambda m: heads.radar_encoder_apply(
-        params["radar_enc"], state["radar_enc"], m, False)[0])(maps)
+        params["radar_enc"], state["radar_enc"], m.astype(hd), False)[0])(maps)
 
     def roi_crops(sm):
         ic = ps_roi_align_batched(sm, all_xyxy, (7, 7), 1.0 / 16,

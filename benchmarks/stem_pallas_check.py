@@ -29,7 +29,9 @@ from jax import lax
 
 import __graft_entry__  # noqa: F401
 from benchmarks.backbone_profile import bench_scanned
-from millieye_tpu.ops.stem_pallas import fused_stem_planar, fused_stem2_planar
+from millieye_tpu.ops.stem_pallas import (fused_stem_planar,
+                                          fused_stem2_planar,
+                                          fused_stem2_phase)
 
 
 def plain(x, w, b, precision=None):
@@ -68,6 +70,10 @@ def main_stem2():
     print(f"stem2 b{b_sz} {h}x{cin}->{cmid}->{cout}: maxerr {e_hi:.2e}",
           flush=True)
     assert e_hi < 1e-4, e_hi
+    got_ph = np.asarray(fused_stem2_phase(x, w0, b0, w1, b1))
+    e_ph = np.abs(got_ph - ref_hi).max()
+    print(f"stem2_phase maxerr {e_ph:.2e}", flush=True)
+    assert e_ph < 1e-4, e_ph
     g16 = np.asarray(fused_stem2_planar(x, w0, b0, w1, b1,
                                         out_dtype=jnp.float16))
     assert g16.dtype == np.float16
@@ -85,6 +91,12 @@ def main_stem2():
         ("stem2", lambda z: fused_stem2_planar(z, w0, b0, w1, b1)),
         ("stem2_default", lambda z: fused_stem2_planar(
             z, w0, b0, w1, b1, precision="default")),
+        ("phase", lambda z: fused_stem2_phase(z, w0, b0, w1, b1)),
+        ("phase_default", lambda z: fused_stem2_phase(
+            z, w0, b0, w1, b1, precision="default")),
+        ("phase_bf16s", lambda z: fused_stem2_phase(
+            z, w0, b0, w1, b1, precision="default",
+            scratch_dtype=jnp.bfloat16)),
     ):
         t = bench_scanned(f, x, k=10)
         print(f"  {name:.<18} {t*1e6:.0f} us/batch "

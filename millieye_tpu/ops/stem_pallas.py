@@ -636,3 +636,237 @@ def fused_stem(x, w, b, th=26, interpret=False, out_dtype=None,
                                        store_dtype),
         interpret=interpret,
     )(xp, wm, b.astype(jnp.float32)).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Phase-split double-fused stem (round 3b).
+#
+# The select-kernel's measured profile: conv dots ~0.3 ms, pool-select
+# matmuls ~0.4-0.8 ms, patch-fill VMEM copies ~1-1.5 ms of the 3.07 ms
+# b32 pair. Two structural fixes, composable:
+#
+# * PHASE-GROUPED LANES: the input's padded columns are regrouped so lane
+#   d*Q + m holds column 4m+d (stage 0; 2 phases for stage 1). A conv
+#   tap +v then maps phase d -> (d+v)%4 with an m+1 carry on the wrapped
+#   blocks — ONE whole-row lane-roll plus one masked select per tap
+#   group, exactly like the old v-roll. The payoff is the pool: output
+#   col 2m = max(conv 4m, 4m+1) = max(block0, block1)[m] — the 2x2 pool
+#   becomes LANE-BLOCK maxes. No one-hot select matmul, no cmax roll,
+#   and the pooled result is born lane-compact.
+# * bf16 SCRATCHES (precision="default" only): DEFAULT-precision MXU
+#   dots round their inputs to bf16 anyway, so storing the patch
+#   scratches (and the DMA'd input bands) in bf16 is bit-identical to
+#   the f32-scratch default-precision kernel while halving the dominant
+#   copy traffic. The inter-stage intermediate y1 stays f32 (stem STORE
+#   precision is the dark-mAP-critical knob, DESIGN.md).
+#
+# Reference role: the cuDNN fused conv+pool stem blocks,
+# ``module3_our_dataset/yolov3/models.py:12-79``.
+# ---------------------------------------------------------------------------
+
+
+def _stem_kernel_planar2_phase(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
+                               o_ref, xb, s0, y1, s1, sem, *,
+                               q, cin, c_mid, c_out, k0_pad, k1,
+                               n_bands0, n_bands1, precision, n_e, n_o,
+                               sdtype):
+    """Phase-grouped double-fused stem kernel (see module comment).
+
+    Lane layouts: stage-0 input 4 phase blocks of ``q`` lanes (block d,
+    lane m = padded col 4m+d); y1 two parity blocks (block p, lane m =
+    stage-1 padded input col 2m+p); output lane-compact pooled cols.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    a0 = a0_ref[...]                      # [c_mid, K0_pad]
+    bias0 = b0_ref[...]                   # [c_mid, 1]
+    a1 = a1_ref[...]                      # [c_out, K1]
+    bias1 = b1_ref[...]                   # [c_out, 1]
+    wq = 4 * q
+    w_mid = 2 * q
+
+    if k0_pad > 9 * cin:
+        s0[9 * cin:] = jnp.zeros((k0_pad - 9 * cin, 16, wq), sdtype)
+    y1[:, 0:8] = jnp.zeros((c_mid, 8, w_mid), jnp.float32)
+    tail = y1.shape[1] - (8 + 8 * n_bands0)
+    if tail:
+        y1[:, 8 + 8 * n_bands0:] = jnp.zeros((c_mid, tail, w_mid),
+                                             jnp.float32)
+
+    # hoisted masks (band-invariant)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (24, wq), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (32, w_mid), 1)
+    lanep = jax.lax.broadcasted_iota(jnp.int32, (c_mid, 8, q), 2)
+
+    def in_dma(i, slot):
+        return pltpu.make_async_copy(
+            x_ref.at[b, :, pl.ds(16 * i, 24)], xb.at[slot], sem.at[slot])
+
+    in_dma(0, 0).start()
+
+    def band0(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_bands0)
+        def _():
+            in_dma(i + 1, 1 - slot).start()
+
+        in_dma(i, slot).wait()
+        for c in range(cin):
+            big = xb[slot, c]                              # [24, wq]
+            for v in range(3):
+                if v == 0:
+                    bv = big
+                else:
+                    sh = (4 - v) * q
+                    t = pltpu.roll(big, sh, 1)         # src = dest + v*q
+                    fx = pltpu.roll(big, sh - 1, 1)    # src = dest + v*q+1
+                    bv = jnp.where(lane0 >= (4 - v) * q, fx, t)
+                for u in range(3):
+                    s0[c * 9 + u * 3 + v] = bv[u:u + 16]
+        z = s0[...].reshape(k0_pad, 16 * wq)
+        y = jax.lax.dot_general(
+            a0, z, (((1,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32)            # [c_mid, 16wq]
+        y = y + bias0
+        y = jnp.where(y > 0, y, 0.1 * y)
+        y3 = y.reshape(c_mid, 8, 2 * wq)
+        rmax = jnp.maximum(y3[:, :, :wq], y3[:, :, wq:])   # [c_mid, 8, wq]
+        pe = jnp.maximum(rmax[:, :, 0:q], rmax[:, :, q:2 * q])
+        po = jnp.maximum(rmax[:, :, 2 * q:3 * q], rmax[:, :, 3 * q:])
+        # exact-zero the out-of-range tail: stage-1's halo reads and the
+        # parity-roll wrap both rely on zeros there
+        pe = jnp.where(lanep < n_e, pe, 0.0)
+        po = jnp.where(lanep < n_o, po, 0.0)
+        # y1 parity blocks: xp1[2m] = pooled[2m-1] = po[m-1] (left halo
+        # zero rides the roll wrap of the masked tail); xp1[2m+1] = pe[m]
+        r = pl.multiple_of(8 + 8 * i, 8)
+        y1[:, pl.dslice(r, 8), 0:q] = pltpu.roll(po, 1, 2)
+        y1[:, pl.dslice(r, 8), q:2 * q] = pe
+        return 0
+
+    jax.lax.fori_loop(0, n_bands0, band0, 0)
+
+    def band1(i, _):
+        r1 = pl.multiple_of(16 * i, 8)
+        for c in range(c_mid):
+            big = y1[c, pl.dslice(r1, 32)]                 # [32, 2q] f32
+            for v in range(3):
+                if v == 0:
+                    bv = big
+                elif v == 1:
+                    t = pltpu.roll(big, q, 1)          # src = dest + q
+                    fx = pltpu.roll(big, q - 1, 1)     # src = dest + q+1
+                    bv = jnp.where(lane1 >= q, fx, t)
+                else:
+                    # src = dest+1 per block; the two block-crossing
+                    # lanes land at m = q-1, beyond the valid range
+                    bv = pltpu.roll(big, 2 * q - 1, 1)
+                for u in range(3):
+                    s1[c * 9 + u * 3 + v] = bv[u + 7:u + 23].astype(sdtype)
+        z = s1[...].reshape(k1, 16 * w_mid)
+        y = jax.lax.dot_general(
+            a1, z, (((1,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32)            # [c_out, 16*2q]
+        y = y + bias1
+        y = jnp.where(y > 0, y, 0.1 * y)
+        y3 = y.reshape(c_out, 8, 2 * w_mid)
+        rmax = jnp.maximum(y3[:, :, :w_mid], y3[:, :, w_mid:])
+        pooled = jnp.maximum(rmax[:, :, 0:q], rmax[:, :, q:])
+        o_ref[:, pl.dslice(pl.multiple_of(8 * i, 8), 8)] = pooled.astype(
+            o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_bands1, band1, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "out_dtype", "precision",
+                                    "scratch_dtype"))
+def fused_stem2_phase(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
+                      precision="highest", scratch_dtype=None):
+    """Phase-split spelling of ``fused_stem2_planar`` — same contract:
+
+    [N, H, W, C] -> [N, H/4, W/4, D1] ==
+        maxpool2(leaky(conv3x3_w1(maxpool2(leaky(conv3x3_w0(x) + b0)))
+                 + b1))
+
+    ``scratch_dtype`` (default f32): dtype of the DMA'd input bands and
+    both patch scratches. bfloat16 is only allowed with
+    precision="default", where it is bit-identical to the f32-scratch
+    kernel (DEFAULT dots round inputs to bf16 on the MXU regardless)
+    but with half the fill-copy traffic. The inter-stage intermediate
+    stays f32 either way.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w_in, cin = x.shape
+    c_mid = w0.shape[3]
+    c_out = w1.shape[3]
+    assert w0.shape[:3] == (3, 3, cin), w0.shape
+    assert w1.shape[:3] == (3, 3, c_mid), w1.shape
+    assert h % 32 == 0 and w_in % 4 == 0, (h, w_in)
+    out_dtype = jnp.dtype(out_dtype or x.dtype)
+    store_dtype = (jnp.dtype(jnp.float32) if out_dtype == jnp.float16
+                   else out_dtype)
+    sdtype = jnp.dtype(scratch_dtype or jnp.float32)
+    assert sdtype == jnp.float32 or precision == "default", \
+        "bf16 scratches change numerics unless the dots are DEFAULT"
+    w_pad = _round_up(w_in + 2, 128)
+    assert w_pad % 4 == 0
+    q = w_pad // 4
+    k0_pad = _round_up(9 * cin, 8)
+    k1 = _round_up(9 * c_mid, 8)
+    assert k1 == 9 * c_mid, "c_mid*9 must be sublane-aligned"
+    n_bands0 = h // 16
+    n_bands1 = h // 2 // 16
+    h_mid = 16 * (n_bands1 - 1) + 32
+    prec = _PRECISIONS[precision]
+    # stage-0 pooled cols split by parity: even m < n_e, odd m < n_o
+    n_e = (w_in // 2 + 1) // 2
+    n_o = w_in // 2 - n_e
+
+    # phase-grouped input: lane d*q + m = padded col 4m+d
+    xpf = jnp.pad(x.astype(jnp.float32).transpose(0, 3, 1, 2),
+                  ((0, 0), (0, 0), (1, 7), (1, 4 * q - w_in - 1)))
+    xq = (xpf.reshape(n, cin, h + 8, q, 4).transpose(0, 1, 2, 4, 3)
+          .reshape(n, cin, h + 8, 4 * q).astype(sdtype))
+    a0 = jnp.pad(w0.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
+        c_mid, 9 * cin), ((0, 0), (0, k0_pad - 9 * cin))).astype(sdtype)
+    a1 = w1.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
+        c_out, k1).astype(sdtype)
+
+    kernel = functools.partial(
+        _stem_kernel_planar2_phase, q=q, cin=cin, c_mid=c_mid,
+        c_out=c_out, k0_pad=k0_pad, k1=k1, n_bands0=n_bands0,
+        n_bands1=n_bands1, precision=prec, n_e=n_e, n_o=n_o,
+        sdtype=sdtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # xq: HBM + DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, c_out, h // 4, q),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, c_out, h // 4, q),
+                                       store_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, cin, 24, 4 * q), sdtype),          # xb
+            pltpu.VMEM((k0_pad, 16, 4 * q), sdtype),          # s0
+            pltpu.VMEM((c_mid, h_mid, 2 * q), jnp.float32),   # y1
+            pltpu.VMEM((k1, 16, 2 * q), sdtype),              # s1
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xq, a0, b0.astype(jnp.float32).reshape(c_mid, 1), a1,
+      b1.astype(jnp.float32).reshape(c_out, 1))
+    return (out[:, :, :, :w_in // 4].transpose(0, 2, 3, 1)
+            .astype(out_dtype))

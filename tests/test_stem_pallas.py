@@ -174,3 +174,49 @@ def test_serving_preset_pallas_stem_builds():
         **pallas_kw, conf_thresh=0.05, max_det=16,
         max_radar=4, pre_nms_top_k=64, nms_use_pallas=False, **over)
     assert model.darknet.pallas_stem_stages == (0, 2)
+
+
+@pytest.mark.parametrize("shape", [(2, 64, 64, 3, 16, 32),
+                                   (1, 32, 48, 5, 8, 16)])
+def test_fused_stem2_phase_matches_two_stages(shape):
+    """Phase-split double-fused kernel (lane-block pool, no select
+    matmul) == two XLA conv+pool stages (interpret), including non-square
+    widths, f16 store, and the bf16-scratch default-precision variant
+    (which must stay within DEFAULT-dot rounding of the exact result)."""
+    from millieye_tpu.ops.stem_pallas import fused_stem2_phase
+
+    n, h, wd, cin, cmid, cout = shape
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(-1, 1, (n, h, wd, cin)), jnp.float32)
+    w0 = jnp.asarray(0.3 * rng.standard_normal((3, 3, cin, cmid)),
+                     jnp.float32)
+    b0 = jnp.asarray(0.1 * rng.standard_normal(cmid), jnp.float32)
+    w1 = jnp.asarray(0.3 * rng.standard_normal((3, 3, cmid, cout)),
+                     jnp.float32)
+    b1 = jnp.asarray(0.1 * rng.standard_normal(cout), jnp.float32)
+    ref = _plain(_plain(x, w0, b0), w1, b1)
+    got = fused_stem2_phase(x, w0, b0, w1, b1, interpret=True)
+    assert got.shape == (n, h // 4, wd // 4, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4)
+    g16 = fused_stem2_phase(x, w0, b0, w1, b1, interpret=True,
+                            out_dtype=jnp.float16)
+    assert g16.dtype == jnp.float16
+    np.testing.assert_allclose(np.asarray(g16, dtype=np.float32),
+                               np.asarray(ref), atol=2e-2)
+    gbf = fused_stem2_phase(x, w0, b0, w1, b1, interpret=True,
+                            precision="default",
+                            scratch_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(gbf), np.asarray(ref),
+                               atol=0.05, rtol=0.03)
+
+
+def test_fused_stem2_phase_rejects_bf16_scratch_at_highest():
+    from millieye_tpu.ops.stem_pallas import fused_stem2_phase
+
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    w0 = jnp.zeros((3, 3, 3, 8), jnp.float32)
+    w1 = jnp.zeros((3, 3, 8, 16), jnp.float32)
+    with pytest.raises(AssertionError):
+        fused_stem2_phase(x, w0, jnp.zeros(8), w1, jnp.zeros(16),
+                          interpret=True, scratch_dtype=jnp.bfloat16)
