@@ -77,14 +77,17 @@ def main():
 
     def build(dtype, s2d=(), int8=False, int8_acts=False, hi_prec=(),
               hi_store=None, im2col=(), heads_dtype="float32",
-              pallas_stem=(), pallas_pair=False, pallas_prec="highest"):
+              pallas_stem=(), pallas_pair=False, pallas_prec="highest",
+              pair_variant="select", roi_impl="einsum"):
         darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=s),
                           img_size=s, s2d_stages=s2d, hi_prec_stages=hi_prec,
                           hi_prec_store=hi_store, im2col_stages=im2col,
                           pallas_stem_stages=pallas_stem,
                           pallas_stem_pair=pallas_pair,
-                          pallas_stem_precision=pallas_prec)
-        cfg = FusionConfig(compute_dtype=dtype, heads_dtype=heads_dtype)
+                          pallas_stem_precision=pallas_prec,
+                          pallas_stem_pair_variant=pair_variant)
+        cfg = FusionConfig(compute_dtype=dtype, heads_dtype=heads_dtype,
+                          roi_impl=roi_impl)
         model = FusionNetwork(darknet, cfg)
         cpu = g._init_device()
         import contextlib
@@ -163,7 +166,16 @@ def main():
                 # precision ablation: same pair at true-f32 dots
                 ("bfloat16", "pallas_stem2_hp", (), False, False,
                  (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
-                 "highest"))
+                 "highest"),
+                # phase-grouped pair spelling: pool as lane-block maxes,
+                # no select matmuls (standalone: 2787 vs 3072 us b32)
+                ("bfloat16", "pallas_phase", (), False, False, (0, 2, 4),
+                 "float16", (), "bfloat16", (0, 2), True, "default",
+                 "phase"),
+                # + VMEM-resident Pallas RoI crops (ops/roi_pallas.py)
+                ("bfloat16", "pallas_max", (), False, False, (0, 2, 4),
+                 "float16", (), "bfloat16", (0, 2), True, "default",
+                 "phase", "pallas"))
     global _DROPPED_STALE
     only = os.environ.get("MILLIEYE_ONLY")
     if only:
@@ -190,9 +202,12 @@ def main():
         pallas_stem = rest[4] if len(rest) > 4 else ()
         pallas_pair = rest[5] if len(rest) > 5 else False
         pallas_prec = rest[6] if len(rest) > 6 else "highest"
+        pair_variant = rest[7] if len(rest) > 7 else "select"
+        roi_impl = rest[8] if len(rest) > 8 else "einsum"
         model, params, state = build(dtype, s2d, int8, acts, hi, hi_store,
                                      im2col, heads_dtype, pallas_stem,
-                                     pallas_pair, pallas_prec)
+                                     pallas_pair, pallas_prec,
+                                     pair_variant, roi_impl)
 
         def fwd(i, m, r, v):
             out = model.apply(params, state, i, m, r, v, mode=0)

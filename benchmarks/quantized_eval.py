@@ -120,6 +120,21 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
                              max_det=64, max_radar=16,
                              compute_dtype="bfloat16",
                              heads_dtype="bfloat16")
+    # phase-grouped pair spelling (pool as lane-block maxes)
+    phase_dn = Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                       img_size=IMG, hi_prec_stages=(0, 2, 4),
+                       hi_prec_store=jnp.float16,
+                       pallas_stem_stages=(0, 2),
+                       pallas_stem_pair=True,
+                       pallas_stem_precision="default",
+                       pallas_stem_pair_variant="phase")
+    # + VMEM-resident Pallas RoI crops at DEFAULT dots — the accuracy
+    # gate for the full serving config (roi rounding class == bf16 heads)
+    roi_cfg = FusionConfig(conf_thresh=0.2, pre_nms_top_k=512,
+                           max_det=64, max_radar=16,
+                           compute_dtype="bfloat16",
+                           heads_dtype="bfloat16",
+                           roi_impl="pallas", roi_precision="default")
 
     variants = {
         "f32": (base, dict(params, darknet=fp), "float32"),
@@ -131,6 +146,10 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
                         dict(params, darknet=fp), "bfloat16"),
         "pallas_stem2": (FusionNetwork(pallas2_dn, heads_cfg),
                          dict(params, darknet=fp), "bfloat16"),
+        "pallas_phase": (FusionNetwork(phase_dn, heads_cfg),
+                         dict(params, darknet=fp), "bfloat16"),
+        "pallas_max": (FusionNetwork(phase_dn, roi_cfg),
+                       dict(params, darknet=fp), "bfloat16"),
         "bf16_f32stem": (FusionNetwork(
             mixed_dn, FusionConfig(conf_thresh=0.2, pre_nms_top_k=512,
                                    max_det=64, max_radar=16,

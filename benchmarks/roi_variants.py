@@ -125,5 +125,53 @@ def main():
         print(f"roi radar {cd_name}: {t*1e6:7.1f} us/batch", flush=True)
 
 
+def pallas_rows():
+    """On-chip rows for ops/roi_pallas.py (run with argv 'pallas')."""
+    from millieye_tpu.ops.roi_pallas import (ps_roi_align_pallas,
+                                             roi_align_pallas)
+    feats, boxes = make_inputs()
+    ref = np.asarray(jax.jit(lambda f, b: current(f, b, None))(feats, boxes))
+    rng = np.random.default_rng(1)
+    rfeat = jnp.asarray(rng.standard_normal((B, H, W, 10)), jnp.float32)
+    rref = np.asarray(jax.jit(lambda f, b: roi_align_batched(
+        f, b, (PH, PW), 1.0 / 16, sampling_max=4))(rfeat, boxes))
+    for prec in ("highest", "split", "default"):
+        got = np.asarray(ps_roi_align_pallas(feats, boxes, (PH, PW),
+                                             1.0 / 16, sampling_max=4,
+                                             precision=prec))
+        err = np.abs(got.reshape(ref.shape) - ref).max()
+        t = bench_scanned(lambda f, _p=prec, _b=boxes: ps_roi_align_pallas(
+            f, _b, (PH, PW), 1.0 / 16, sampling_max=4, precision=_p),
+            feats, k=10)
+        print(f"psroi pallas {prec:<8}: {t*1e6:7.1f} us/batch  "
+              f"maxerr {err:.2e}", flush=True)
+        gotr = np.asarray(roi_align_pallas(rfeat, boxes, (PH, PW),
+                                           1.0 / 16, sampling_max=4,
+                                           precision=prec))
+        errr = np.abs(gotr.reshape(rref.shape) - rref).max()
+        tr = bench_scanned(lambda f, _p=prec, _b=boxes: roi_align_pallas(
+            f, _b, (PH, PW), 1.0 / 16, sampling_max=4, precision=_p),
+            rfeat, k=10)
+        print(f"roi radar pallas {prec:<8}: {tr*1e6:7.1f} us/batch  "
+              f"maxerr {errr:.2e}", flush=True)
+
+    # p-major channel order (the serving wiring: the producing conv's
+    # output channels are permuted, so the map is born p-major)
+    from millieye_tpu.ops.roi_pallas import ps_channel_perm
+    perm = ps_channel_perm(CU, PH, PW)
+    fpuq = feats[..., perm]
+    for prec in ("split", "default"):
+        got = np.asarray(ps_roi_align_pallas(fpuq, boxes, (PH, PW),
+                                             1.0 / 16, sampling_max=4,
+                                             precision=prec,
+                                             channel_order="puq"))
+        err = np.abs(got.reshape(ref.shape) - ref).max()
+        t = bench_scanned(lambda f, _p=prec, _b=boxes: ps_roi_align_pallas(
+            f, _b, (PH, PW), 1.0 / 16, sampling_max=4, precision=_p,
+            channel_order="puq"), fpuq, k=10)
+        print(f"psroi pallas puq {prec:<8}: {t*1e6:7.1f} us/batch  "
+              f"maxerr {err:.2e}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    pallas_rows() if "pallas" in sys.argv else main()

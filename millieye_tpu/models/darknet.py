@@ -189,7 +189,8 @@ class Darknet:
     def __init__(self, config, img_size=416, feature_tap=8, s2d_stages=(),
                  hi_prec_stages=(), hi_prec_store=None, im2col_stages=(),
                  pallas_stem_stages=(), pallas_stem_variant="batched",
-                 pallas_stem_pair=False, pallas_stem_precision="highest"):
+                 pallas_stem_pair=False, pallas_stem_precision="highest",
+                 pallas_stem_pair_variant="select"):
         if isinstance(config, (str,)):
             config = parse_model_config(config)
         self.hyperparams = config[0]
@@ -208,6 +209,11 @@ class Darknet:
         # intermediate never leaves VMEM, so its hi_prec_store slot is
         # moot and stage lo+1..lo+3 become pass-throughs at inference
         self.pallas_stem_pair = bool(pallas_stem_pair)
+        # pair-kernel spelling: "select" = one-hot pool-select matmuls
+        # (fused_stem2_planar), "phase" = phase-grouped lanes with the
+        # pool as lane-block maxes (fused_stem2_phase, ~9% faster
+        # on-chip at DEFAULT dots, bit-comparable)
+        self.pallas_stem_pair_variant = pallas_stem_pair_variant
         # conv-dot MXU passes inside the kernels ("highest"/"high"/
         # "default") — on-chip the dots dominate, and one-pass bf16
         # products with f32 accumulate ("default") run the fused pair
@@ -445,7 +451,11 @@ class Darknet:
             if i in pair_skip:
                 x = outputs[-1]   # consumed by the double-fused pair
             elif i == pair_lo:
-                from millieye_tpu.ops.stem_pallas import fused_stem2_planar
+                from millieye_tpu.ops.stem_pallas import (fused_stem2_phase,
+                                                          fused_stem2_planar)
+                pair_fn = (fused_stem2_phase
+                           if self.pallas_stem_pair_variant == "phase"
+                           else fused_stem2_planar)
                 xin = outputs[-1] if outputs else images
                 assert (info["act"] == "leaky"
                         and self._plan[i + 2]["act"] == "leaky"), \
@@ -458,7 +468,7 @@ class Darknet:
                              and self.hi_prec_store is not None)
                          else (jnp.float32 if i + 2 in self.hi_prec_stages
                                else compute_dtype))
-                x = fused_stem2_planar(
+                x = pair_fn(
                     xin.astype(jnp.float32), p["w"], p["b"],
                     p2["w"], p2["b"],
                     interpret=jax.default_backend() != "tpu",

@@ -81,6 +81,19 @@ class FusionConfig:
     nms_use_pallas: bool = None          # None = auto (pallas on TPU);
                                          # set False when running on CPU
                                          # devices of a TPU-default process
+    roi_impl: str = "einsum"             # RoI crop engine: "einsum" (the
+                                         # parity-exact XLA formulation)
+                                         # or "pallas" (VMEM-resident
+                                         # kernel, ops/roi_pallas.py —
+                                         # the einsum's ~450 MB b32
+                                         # intermediate never touches
+                                         # HBM); inference-only, falls
+                                         # back to einsum in training
+    roi_precision: str = "default"       # pallas RoI dot ladder:
+                                         # "default" (1-pass bf16-input
+                                         # dots — the bf16-heads rounding
+                                         # class), "split" (~2^-16), or
+                                         # "highest" (exact f32)
     weights_int8: bool = False           # serving: backbone conv weights
                                          # stored int8 (per-out-channel
                                          # scales), dequant fused in-graph
@@ -186,6 +199,23 @@ class FusionNetwork:
             p_rad, s_rad = params["radar_enc"], state["radar_enc"]
             p_ref, s_ref = params["refine"], state["refine"]
             p_ens = params["ensemble"]
+        use_pallas_roi = cfg.roi_impl == "pallas" and not train
+        if use_pallas_roi:
+            # permute the score-map conv's OUTPUT channels (weights +
+            # per-channel BN vectors, a few KB) so the 50 MB map is born
+            # p-major — the pallas RoI kernel's per-bin-row extraction
+            # then block-copies instead of stride-7 lane-gathering
+            # (ops/roi_pallas.py:ps_channel_perm)
+            from millieye_tpu.ops.roi_pallas import ps_channel_perm
+            perm = jnp.asarray(
+                ps_channel_perm(p_img[-1]["w"].shape[-1] // 49, 7, 7))
+            last = dict(p_img[-1])
+            last["w"] = last["w"][..., perm]
+            last["b"] = last["b"][perm]
+            last["bn"] = {k: v[perm] for k, v in last["bn"].items()}
+            p_img = list(p_img[:-1]) + [last]
+            s_img = list(s_img[:-1]) + [
+                {k: v[perm] for k, v in s_img[-1].items()}]
         roi_score_map, img_cnn_s = heads.conv_bn_stack_apply(
             p_img, s_img, feature_map.astype(hd), train)
         radar_score_map, radar_enc_s = heads.radar_encoder_apply(
@@ -200,15 +230,34 @@ class FusionNetwork:
 
         # 4. RoI cropping (my_models.py:495-496) — batched einsum variants:
         # the per-image roi layout is already blocked, so cropping is two
-        # MXU contractions for the whole batch, no gathers, no image loop
-        img_crop = ps_roi_align_batched(
-            roi_score_map, all_xyxy, (7, 7), 1.0 / 16,
-            sampling_max=cfg.sampling_max,
-            compute_dtype=hd).reshape(b_sz * n_all, 7, 7, -1)
-        radar_crop = roi_align_batched(
-            radar_score_map, all_xyxy, (7, 7), 1.0 / 16,
-            sampling_max=cfg.sampling_max,
-            compute_dtype=hd).reshape(b_sz * n_all, 7, 7, -1)
+        # MXU contractions for the whole batch, no gathers, no image loop.
+        # Serving alternative (cfg.roi_impl="pallas"): the VMEM-resident
+        # kernel — the separable intermediate never touches HBM
+        # (measured 2.75 -> ~sub-ms ms/b32, benchmarks/roi_variants.py)
+        if use_pallas_roi:
+            from millieye_tpu.ops.roi_pallas import (ps_roi_align_pallas,
+                                                     roi_align_pallas)
+            interp = jax.default_backend() != "tpu"
+            img_crop = ps_roi_align_pallas(
+                roi_score_map.astype(jnp.float32), all_xyxy, (7, 7),
+                1.0 / 16, sampling_max=cfg.sampling_max,
+                precision=cfg.roi_precision, interpret=interp,
+                channel_order="puq",
+            ).astype(hd).reshape(b_sz * n_all, 7, 7, -1)
+            radar_crop = roi_align_pallas(
+                radar_score_map.astype(jnp.float32), all_xyxy, (7, 7),
+                1.0 / 16, sampling_max=cfg.sampling_max,
+                precision=cfg.roi_precision, interpret=interp,
+            ).astype(hd).reshape(b_sz * n_all, 7, 7, -1)
+        else:
+            img_crop = ps_roi_align_batched(
+                roi_score_map, all_xyxy, (7, 7), 1.0 / 16,
+                sampling_max=cfg.sampling_max,
+                compute_dtype=hd).reshape(b_sz * n_all, 7, 7, -1)
+            radar_crop = roi_align_batched(
+                radar_score_map, all_xyxy, (7, 7), 1.0 / 16,
+                sampling_max=cfg.sampling_max,
+                compute_dtype=hd).reshape(b_sz * n_all, 7, 7, -1)
 
         # 5. refinement head (img-feature scoring + radar-confidence fusion)
         regress_param, refinement_vector, refine_s = heads.refinement_head_apply(
@@ -429,10 +478,19 @@ class RefineNetwork:
         roi_score_map, fcn_s = heads.conv_bn_stack_apply(
             p_fcn, s_fcn, d_out["feature_map"].astype(hd), train)
 
-        img_crop = ps_roi_align_batched(
-            roi_score_map, img_xyxy, (7, 7), 1.0 / 16,
-            sampling_max=cfg.sampling_max,
-            compute_dtype=hd).reshape(b_sz * k_img, 7, 7, -1)
+        if cfg.roi_impl == "pallas" and not train:
+            from millieye_tpu.ops.roi_pallas import ps_roi_align_pallas
+            img_crop = ps_roi_align_pallas(
+                roi_score_map.astype(jnp.float32), img_xyxy, (7, 7),
+                1.0 / 16, sampling_max=cfg.sampling_max,
+                precision=cfg.roi_precision,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(hd).reshape(b_sz * k_img, 7, 7, -1)
+        else:
+            img_crop = ps_roi_align_batched(
+                roi_score_map, img_xyxy, (7, 7), 1.0 / 16,
+                sampling_max=cfg.sampling_max,
+                compute_dtype=hd).reshape(b_sz * k_img, 7, 7, -1)
 
         drop_rng = None
         if train and rng is not None:

@@ -1,0 +1,254 @@
+"""Pallas TPU kernel for the fusion network's RoI crops.
+
+Why: the separable-einsum RoIAlign (ops/roi_align.py) is the right XLA
+formulation, but at the fusion operating point (B=32, N=232 rois, 26x26
+maps, 7x7 bins) its intermediate ``t [B, N, P, Q, W, U]`` is ~450 MB and
+XLA must relay it between the two contractions — measured 1.82 ms
+(PS) + 0.93 ms (radar) per b32 batch, HBM-traffic-bound, and bf16
+operands make it *slower* (packed-sublane relayouts), which is why the
+``bf16_heads`` serving preset barely moved e2e. On-chip measurements:
+``benchmarks/roi_variants.py``; einsum reorderings recover <7%.
+
+This kernel keeps the intermediate in VMEM. Per image (grid = batch):
+
+* stage 1: for each bin row p, one MXU dot ``by_p [N, H] @ fv_p [H, K]``
+  produces ``t_p [N, K]`` (K = the feature columns, minor-ordered
+  (u, q, w) so w is contiguous) — t never touches HBM;
+* stage 2: the per-roi w-contraction ``sum_w bx[n, q, w] * t_p[n, .., w]``
+  is NOT a matmul (bx varies with the roi row n), so it runs as one VPU
+  multiply with a pre-broadcast ``bxe [N, K]`` followed by ONE matmul
+  with a constant 0/1 block-diagonal summation matrix
+  ``S [K, (u, q)] = kron(I, ones(W))`` — the segmented lane-reduction
+  rides the MXU.
+
+The radar (non-position-sensitive) crop reuses the same kernel: its
+features are bin-independent, so the XLA side replicates them across q
+INSIDE stage 1's rhs (``F_rep [H, (q, c, w)]`` — the replication rides
+the dot for free) and the same bxe/S machinery applies.
+
+Precision (``precision=``):
+
+* ``"default"``  — 1-pass bf16-input dots, f32 accumulate. Same rounding
+  class as the accuracy-validated bf16 heads ladder (SYNTH_RESULTS
+  serving table); the serving configuration.
+* ``"split"``    — hi/lo cross-term expansion (3 DEFAULT passes for
+  stage 1, 2 for stage 2, the exact-0/1 S needs no split): relative
+  error ~2^-16, far inside the einsum-vs-gather test tolerance.
+* ``"highest"``  — true f32 (6-pass) dots; bit-accurate reference.
+
+Reference role: torchvision ``ps_roi_align``/``roi_align`` CUDA kernels,
+``module3_our_dataset/my_models.py:495-496``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from millieye_tpu.ops.roi_align import _batched_prep
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _hi(x):
+    return x.astype(jnp.bfloat16).astype(jnp.float32)
+
+
+def _dot(a, b, mode):
+    """[M, K] @ [K, N] f32 with the module's precision ladder."""
+    if mode == "highest":
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+
+    if mode == "default":
+        return d(a, b)
+    assert mode in ("split", "split_rhs_exact")
+    # explicit hi/lo expansion (ah, bh are bf16-exact, so DEFAULT's
+    # input rounding is a no-op on them; the lo operands round at 2^-8
+    # of values already 2^-8 down -> ~2^-16 total). Written with
+    # explicitly rounded operands so interpret mode (exact f32 dots)
+    # and Mosaic (bf16-input dots) agree.
+    ah = _hi(a)
+    al = a - ah
+    if mode == "split_rhs_exact":
+        return d(ah, b) + d(al, b)
+    bh = _hi(b)
+    return d(ah, bh) + d(al, bh) + d(ah, b - bh)
+
+
+def _roi_kernel(by_ref, feat_ref, bxe_ref, s_ref, o_ref, *, n_p,
+                feat_per_p, precision):
+    """One image. by [P, N, HS]; feat [P or 1, HS, K]; bxe [N, K];
+    S [K, OL]; out [P, N, OL]."""
+    bxe = bxe_ref[...]
+    s_mat = s_ref[...]
+    for p in range(n_p):
+        by_p = by_ref[p]                                   # [N, HS]
+        fv_p = feat_ref[p if feat_per_p else 0]            # [HS, K]
+        t = _dot(by_p, fv_p, precision)                    # [N, K]
+        prod = t * bxe
+        o_ref[p] = _dot(prod, s_mat,
+                        "split_rhs_exact" if precision == "split"
+                        else precision)
+
+
+def _sum_matrix(w, cols, k_pad):
+    """[k_pad, cols] 0/1 w-strided summation: column j sums lanes
+    {i*cols + j, i < w} — the K lanes are minor-ordered (w, ..block j..)
+    so the feature prep never changes the minor dimension (an XLA
+    minor-dim transpose of the 50 MB score map is what made the first
+    spelling slower than the einsum it replaced)."""
+    s = jnp.kron(jnp.ones((w, 1), jnp.float32),
+                 jnp.eye(cols, dtype=jnp.float32))         # [w*cols, cols]
+    return jnp.pad(s, ((0, k_pad - w * cols), (0, 0)))
+
+
+def _launch(by, feat, bxe, s_mat, n_p, out_lanes, feat_per_p, precision,
+            interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = by.shape[0]
+    n = by.shape[2]
+    kernel = functools.partial(_roi_kernel, n_p=n_p, feat_per_p=feat_per_p,
+                               precision=precision)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None,) + by.shape[1:], lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None,) + feat.shape[1:], lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None,) + bxe.shape[1:], lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, n_p, n, out_lanes),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_p, n, out_lanes),
+                                       jnp.float32),
+        interpret=interpret,
+    )(by, feat, bxe, s_mat)
+
+
+def ps_channel_perm(c_out, ph, pw):
+    """Torch bin-major channel order (u*ph + p)*pw + q -> the kernel's
+    p-major order p*(c_out*pw) + u*pw + q. Apply to the OUTPUT channels
+    of the score-map conv (weights + per-channel BN vectors — a few KB)
+    so the 50 MB map is BORN p-major: slicing out the per-bin-row planes
+    is then an 84-float-granularity block transpose instead of a
+    stride-7 lane gather (measured 2.9 ms of XLA relayout per b32 batch,
+    benchmarks/roi_prep_probe.py)."""
+    import numpy as np
+    perm = np.empty(c_out * ph * pw, np.int32)
+    for p in range(ph):
+        for u in range(c_out):
+            for q in range(pw):
+                perm[(p * c_out + u) * pw + q] = (u * ph + p) * pw + q
+    return perm
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("output_size", "spatial_scale",
+                                    "sampling_ratio", "sampling_max",
+                                    "precision", "interpret",
+                                    "channel_order"))
+def ps_roi_align_pallas(features, boxes, output_size=(7, 7),
+                        spatial_scale=1.0 / 16, sampling_ratio=-1,
+                        sampling_max=4, precision="default",
+                        interpret=False, channel_order="upq"):
+    """Drop-in for ``ps_roi_align_batched`` (same tv0.6 numerics via the
+    shared ``_batched_prep``): features [B, H, W, C_out*ph*pw] torch
+    bin-major, boxes [B, N, 4] -> [B, N, ph, pw, C_out] float32.
+
+    ``channel_order``: "upq" = torch bin-major input channels (the
+    drop-in case; pays a fine-grained XLA relayout), "puq" = channels
+    already permuted with ``ps_channel_perm`` at the producing conv (the
+    serving path — the per-p extraction becomes a coarse block copy)."""
+    b, h, w, c_in = features.shape
+    ph, pw = output_size
+    c_out = c_in // (ph * pw)
+    assert c_out * ph * pw == c_in
+    n = boxes.shape[1]
+    by, bx = _batched_prep(boxes, h, w, output_size, spatial_scale, -0.5,
+                           0.1, sampling_ratio, sampling_max)
+    k = w * c_out * pw
+    k_pad = _round_up(k, 128)
+    hs = _round_up(h, 8)
+
+    # fv: [B, P, Hs, (w, u, q)]
+    if channel_order == "puq":
+        fv = (features.astype(jnp.float32)
+              .reshape(b, h, w, ph, c_out, pw)
+              .transpose(0, 3, 1, 2, 4, 5).reshape(b, ph, h, k))
+    else:
+        fv = (features.astype(jnp.float32)
+              .reshape(b, h, w, c_out, ph, pw)
+              .transpose(0, 4, 1, 2, 3, 5).reshape(b, ph, h, k))
+    fv = jnp.pad(fv, ((0, 0), (0, 0), (0, hs - h), (0, k_pad - k)))
+    byp = jnp.pad(by.astype(jnp.float32).transpose(0, 2, 1, 3),
+                  ((0, 0), (0, 0), (0, 0), (0, hs - h)))   # [B, P, N, HS]
+    bxe = jnp.broadcast_to(
+        bx.astype(jnp.float32).transpose(0, 1, 3, 2)[:, :, :, None, :],
+        (b, n, w, c_out, pw)).reshape(b, n, k)
+    bxe = jnp.pad(bxe, ((0, 0), (0, 0), (0, k_pad - k)))
+    s_mat = _sum_matrix(w, c_out * pw, k_pad)
+
+    out = _launch(byp, fv, bxe, s_mat, ph, c_out * pw, True, precision,
+                  interpret)                               # [B, P, N, U*Q]
+    return (out.reshape(b, ph, n, c_out, pw)
+            .transpose(0, 2, 1, 4, 3))                     # [B, N, P, Q, U]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("output_size", "spatial_scale",
+                                    "sampling_ratio", "sampling_max",
+                                    "precision", "interpret"))
+def roi_align_pallas(features, boxes, output_size=(7, 7),
+                     spatial_scale=1.0 / 16, sampling_ratio=-1,
+                     sampling_max=4, precision="default", interpret=False):
+    """Drop-in for ``roi_align_batched`` (tv0.6 aligned=False numerics):
+    features [B, H, W, C], boxes [B, N, 4] -> [B, N, ph, pw, C] f32.
+
+    The bin-independent features are replicated across the q bins on the
+    XLA side (``F_rep [H, (q, c, w)]``) so the replication rides stage
+    1's dot instead of costing VMEM copies."""
+    b, h, w, c = features.shape
+    ph, pw = output_size
+    n = boxes.shape[1]
+    by, bx = _batched_prep(boxes, h, w, output_size, spatial_scale, 0.0,
+                           1.0, sampling_ratio, sampling_max)
+    k = w * c * pw
+    k_pad = _round_up(k, 128)
+    hs = _round_up(h, 8)
+
+    # F_rep: [B, 1, Hs, (w, c, q)] — a pure minor-append broadcast of the
+    # natural [B, H, W, C] layout, no transpose at all
+    frep = jnp.broadcast_to(
+        features.astype(jnp.float32)[..., None],
+        (b, h, w, c, pw)).reshape(b, 1, h, k)
+    frep = jnp.pad(frep, ((0, 0), (0, 0), (0, hs - h), (0, k_pad - k)))
+    byp = jnp.pad(by.astype(jnp.float32).transpose(0, 2, 1, 3),
+                  ((0, 0), (0, 0), (0, 0), (0, hs - h)))
+    bxe = jnp.broadcast_to(
+        bx.astype(jnp.float32).transpose(0, 1, 3, 2)[:, :, :, None, :],
+        (b, n, w, c, pw)).reshape(b, n, k)
+    bxe = jnp.pad(bxe, ((0, 0), (0, 0), (0, k_pad - k)))
+    s_mat = _sum_matrix(w, c * pw, k_pad)
+
+    out = _launch(byp, frep, bxe, s_mat, ph, c * pw, False, precision,
+                  interpret)                               # [B, P, N, C*Q]
+    return (out.reshape(b, ph, n, c, pw)
+            .transpose(0, 2, 1, 4, 3))                     # [B, N, P, Q, C]

