@@ -46,13 +46,6 @@ def prep(features, boxes):
 
 def main():
     feats, boxes = make_inputs()
-    t_prep = bench_scanned(lambda f, _b=boxes: prep(f, _b)[1], feats, k=10)
-    print(f"psroi prep only: {t_prep*1e6:7.1f} us/batch", flush=True)
-    t_prep_all = bench_scanned(
-        lambda f, _b=boxes: jax.tree.map(
-            lambda a: a.sum(), prep(f, _b)[:3]), feats, k=10)
-    print(f"psroi prep all3: {t_prep_all*1e6:7.1f} us/batch", flush=True)
-
     byp, fv, bxe, s_mat = jax.jit(prep)(feats, boxes)
     t_kern = bench_scanned(
         lambda _by, _fv=fv, _bxe=bxe, _s=s_mat: _launch(
@@ -60,6 +53,10 @@ def main():
         byp, k=10)
     print(f"psroi kernel only (default): {t_kern*1e6:7.1f} us/batch",
           flush=True)
+    t_prep = bench_scanned(lambda f, _b=boxes: prep(f, _b)[1], feats, k=10)
+    print(f"psroi prep fv only: {t_prep*1e6:7.1f} us/batch", flush=True)
+    t_bxe = bench_scanned(lambda f, _b=boxes: prep(f, _b)[2] + 0.0 * f[0, 0, 0, 0], feats, k=10)
+    print(f"psroi prep bxe only: {t_bxe*1e6:7.1f} us/batch", flush=True)
 
 
 if __name__ == "__main__":

@@ -173,5 +173,60 @@ def pallas_rows():
               f"maxerr {err:.2e}", flush=True)
 
 
+def pad128_rows():
+    """Padded-channel grid-(b,p) kernel (argv 'pad128'): consumes the
+    conv's natural NHWC output directly — no feature relayout at all."""
+    from millieye_tpu.ops.roi_pallas import (ps_channel_perm_pad,
+                                             ps_roi_align_pallas_padded)
+    feats, boxes = make_inputs()
+    ref = np.asarray(jax.jit(lambda f, b: current(f, b, None))(feats, boxes))
+    dst = ps_channel_perm_pad(CU, PH, PW)
+    fpad = np.zeros(feats.shape[:-1] + (PH * 128,), np.float32)
+    fpad[..., dst] = np.asarray(feats)
+    fpad = jnp.asarray(fpad)
+    for prec in ("split", "default"):
+        got = np.asarray(ps_roi_align_pallas_padded(
+            fpad, boxes, (PH, PW), 1.0 / 16, sampling_max=4, c_out=CU,
+            precision=prec))
+        err = np.abs(got.reshape(ref.shape) - ref).max()
+        t = bench_scanned(
+            lambda f, _p=prec, _b=boxes: ps_roi_align_pallas_padded(
+                f, _b, (PH, PW), 1.0 / 16, sampling_max=4, c_out=CU,
+                precision=_p), fpad, k=10)
+        print(f"psroi pallas pad128 {prec:<8}: {t*1e6:7.1f} us/batch  "
+              f"maxerr {err:.2e}", flush=True)
+
+
+def pad128_g1_rows():
+    from millieye_tpu.ops.roi_pallas import (ps_channel_perm_pad,
+                                             ps_roi_align_pallas_padded_g1)
+    feats, boxes = make_inputs()
+    ref = np.asarray(jax.jit(lambda f, b: current(f, b, None))(feats, boxes))
+    dst = ps_channel_perm_pad(CU, PH, PW)
+    fpad = np.zeros(feats.shape[:-1] + (PH * 128,), np.float32)
+    fpad[..., dst] = np.asarray(feats)
+    fpad = jnp.asarray(fpad)
+    for prec in ("default", "split"):
+        fn = jax.jit(lambda f, _p=prec, _b=boxes: ps_roi_align_pallas_padded_g1(
+            f, _b, (PH, PW), 1.0 / 16, sampling_max=4, c_out=CU,
+            precision=_p))
+        try:
+            got = np.asarray(fn(fpad))
+            err = np.abs(got.reshape(ref.shape) - ref).max()
+            t = bench_scanned(fn, fpad, k=10)
+            print(f"psroi pallas pad128g1 {prec:<8}: {t*1e6:7.1f} us/batch"
+                  f"  maxerr {err:.2e}", flush=True)
+        except Exception as e:
+            print(f"psroi pallas pad128g1 {prec}: FAILED "
+                  f"{str(e)[:120]}", flush=True)
+
+
 if __name__ == "__main__":
-    pallas_rows() if "pallas" in sys.argv else main()
+    if "pad128g1" in sys.argv:
+        pad128_g1_rows()
+    elif "pad128" in sys.argv:
+        pad128_rows()
+    elif "pallas" in sys.argv:
+        pallas_rows()
+    else:
+        main()

@@ -200,22 +200,32 @@ class FusionNetwork:
             p_ref, s_ref = params["refine"], state["refine"]
             p_ens = params["ensemble"]
         use_pallas_roi = cfg.roi_impl == "pallas" and not train
+        roi_c_out = None
         if use_pallas_roi:
-            # permute the score-map conv's OUTPUT channels (weights +
-            # per-channel BN vectors, a few KB) so the 50 MB map is born
-            # p-major — the pallas RoI kernel's per-bin-row extraction
-            # then block-copies instead of stride-7 lane-gathering
-            # (ops/roi_pallas.py:ps_channel_perm)
-            from millieye_tpu.ops.roi_pallas import ps_channel_perm
-            perm = jnp.asarray(
-                ps_channel_perm(p_img[-1]["w"].shape[-1] // 49, 7, 7))
+            # permute AND pad the score-map conv's OUTPUT channels
+            # (weights + per-channel BN vectors, a few KB) into
+            # 128-aligned per-bin-row blocks, so the 50 MB map is born in
+            # the layout the RoI kernel reads directly — no XLA relayout
+            # of the map at any granularity (measured ~3 ms/b32 for any
+            # transpose of it; ops/roi_pallas.py:ps_channel_perm_pad)
+            from millieye_tpu.ops.roi_pallas import ps_channel_perm_pad
+            roi_c_out = p_img[-1]["w"].shape[-1] // 49
+            dst = jnp.asarray(ps_channel_perm_pad(roi_c_out, 7, 7))
+            c_pad = 7 * 128
+
+            def _scat(v, fill):
+                out = jnp.full(v.shape[:-1] + (c_pad,), fill, v.dtype)
+                return out.at[..., dst].set(v)
+
             last = dict(p_img[-1])
-            last["w"] = last["w"][..., perm]
-            last["b"] = last["b"][perm]
-            last["bn"] = {k: v[perm] for k, v in last["bn"].items()}
+            last["w"] = _scat(last["w"], 0.0)
+            last["b"] = _scat(last["b"], 0.0)
+            last["bn"] = {"gamma": _scat(last["bn"]["gamma"], 0.0),
+                          "beta": _scat(last["bn"]["beta"], 0.0)}
             p_img = list(p_img[:-1]) + [last]
             s_img = list(s_img[:-1]) + [
-                {k: v[perm] for k, v in s_img[-1].items()}]
+                {"mean": _scat(s_img[-1]["mean"], 0.0),
+                 "var": _scat(s_img[-1]["var"], 1.0)}]
         roi_score_map, img_cnn_s = heads.conv_bn_stack_apply(
             p_img, s_img, feature_map.astype(hd), train)
         radar_score_map, radar_enc_s = heads.radar_encoder_apply(
@@ -235,14 +245,21 @@ class FusionNetwork:
         # kernel — the separable intermediate never touches HBM
         # (measured 2.75 -> ~sub-ms ms/b32, benchmarks/roi_variants.py)
         if use_pallas_roi:
-            from millieye_tpu.ops.roi_pallas import (ps_roi_align_pallas,
-                                                     roi_align_pallas)
+            from millieye_tpu.ops.roi_pallas import (
+                ps_roi_align_pallas_padded, ps_roi_align_pallas_padded_g1,
+                roi_align_pallas)
             interp = jax.default_backend() != "tpu"
-            img_crop = ps_roi_align_pallas(
-                roi_score_map.astype(jnp.float32), all_xyxy, (7, 7),
+            # "default": one-program-per-image bf16-operand kernel (the
+            # f32-operand VMEM residency exceeds the 16 MB scoped budget
+            # at b32); split/highest: the grid-(b,p) f32 form
+            ps_fn = (ps_roi_align_pallas_padded_g1
+                     if cfg.roi_precision == "default"
+                     else ps_roi_align_pallas_padded)
+            img_crop = ps_fn(
+                roi_score_map, all_xyxy, (7, 7),
                 1.0 / 16, sampling_max=cfg.sampling_max,
-                precision=cfg.roi_precision, interpret=interp,
-                channel_order="puq",
+                c_out=roi_c_out, precision=cfg.roi_precision,
+                interpret=interp,
             ).astype(hd).reshape(b_sz * n_all, 7, 7, -1)
             radar_crop = roi_align_pallas(
                 radar_score_map.astype(jnp.float32), all_xyxy, (7, 7),

@@ -252,3 +252,171 @@ def roi_align_pallas(features, boxes, output_size=(7, 7),
                   interpret)                               # [B, P, N, C*Q]
     return (out.reshape(b, ph, n, c, pw)
             .transpose(0, 2, 1, 4, 3))                     # [B, N, P, Q, C]
+
+
+def ps_channel_perm_pad(c_out, ph, pw, block=128):
+    """Destination slots for ``channel_order="puq128"``: source channel
+    (u*ph + p)*pw + q lands at p*block + u*pw + q of a ``ph*block``-wide
+    padded layout (pad slots stay zero — give them zero weights and
+    identity BN stats). 128-aligned per-p blocks let the RoI kernel
+    consume the conv's natural NHWC output directly — no XLA transpose
+    (measured 3.1 ms of relayout per b32 batch for ANY ordering,
+    benchmarks/roi_prep_probe.py — vs 0.4 ms for the kernel itself)."""
+    import numpy as np
+    assert c_out * pw <= block
+    dst = np.empty(c_out * ph * pw, np.int32)
+    for u in range(c_out):
+        for p in range(ph):
+            for q in range(pw):
+                dst[(u * ph + p) * pw + q] = p * block + u * pw + q
+    return dst
+
+
+def _roi_kernel_grid_p(by_ref, feat_ref, bxe_ref, s_ref, o_ref, *,
+                       precision):
+    """One (image, bin-row). feat [H, W, block] -> reshaped [H, W*block];
+    by [N, H]; bxe [N, W*block]; S [W*block, OL]; out [N, OL]."""
+    h, w, blk = feat_ref.shape
+    fv = feat_ref[...].reshape(h, w * blk)
+    t = _dot(by_ref[...], fv, precision)               # [N, W*block]
+    prod = t * bxe_ref[...]
+    o_ref[...] = _dot(prod, s_ref[...],
+                      "split_rhs_exact" if precision == "split"
+                      else precision)
+
+
+def ps_roi_align_pallas_padded(features, boxes, output_size=(7, 7),
+                               spatial_scale=1.0 / 16, sampling_ratio=-1,
+                               sampling_max=4, c_out=None,
+                               precision="default", interpret=False):
+    """``ps_roi_align_pallas`` for features whose channels were permuted
+    AND padded with ``ps_channel_perm_pad`` (block=128): features
+    [B, H, W, ph*128] -> [B, N, ph, pw, c_out] float32. The kernel reads
+    per-bin-row 128-channel blocks straight out of the conv's NHWC
+    output (grid = (batch, ph), p fastest so the per-image blocks load
+    once)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c_pad = features.shape
+    ph, pw = output_size
+    block = c_pad // ph
+    assert block * ph == c_pad
+    assert c_out is not None and c_out * pw <= block
+    n = boxes.shape[1]
+    by, bx = _batched_prep(boxes, h, w, output_size, spatial_scale, -0.5,
+                           0.1, sampling_ratio, sampling_max)
+    k = w * block
+    ol = c_out * pw
+
+    byp = by.astype(jnp.float32).transpose(0, 2, 1, 3)     # [B, P, N, H]
+    # bxe[n, w*block + u*pw + q] = bx[n, q, w]
+    bxe = jnp.pad(jnp.broadcast_to(
+        bx.astype(jnp.float32).transpose(0, 1, 3, 2)[:, :, :, None, :],
+        (b, n, w, c_out, pw)).reshape(b, n, w, ol),
+        ((0, 0), (0, 0), (0, 0), (0, block - ol))).reshape(b, n, k)
+    s_mat = jnp.kron(
+        jnp.ones((w, 1), jnp.float32),
+        jnp.pad(jnp.eye(ol, dtype=jnp.float32),
+                ((0, block - ol), (0, 0))))                # [k, OL]
+
+    kernel = functools.partial(_roi_kernel_grid_p, precision=precision)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, ph),
+        in_specs=[
+            pl.BlockSpec((None, None, n, h), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, h, w, block), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n, k), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, None, n, ol),
+                               lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, ph, n, ol), jnp.float32),
+        interpret=interpret,
+    )(byp, features.astype(jnp.float32), bxe, s_mat)
+    return (out.reshape(b, ph, n, c_out, pw)
+            .transpose(0, 2, 1, 4, 3))                     # [B, N, P, Q, U]
+
+
+def _roi_kernel_sliced(by_ref, feat_ref, bxe_ref, s_ref, o_ref, *, n_p,
+                       block, precision):
+    """One image, padded-channel layout. feat [H, W, n_p*block]; per p a
+    static lane-block slice + merge feeds the same dot/mult/dot chain.
+    by [P, N, H]; bxe [N, W*block]; S [W*block, OL]; out [P, N, OL].
+    Operands may arrive bf16 (the "default" VMEM budget — bit-identical
+    to f32 operands under DEFAULT dots); accumulation stays f32."""
+    h, w, _ = feat_ref.shape
+    bxe = bxe_ref[...]
+    s_mat = s_ref[...]
+    for p in range(n_p):
+        fv = feat_ref[:, :, p * block:(p + 1) * block].reshape(
+            h, w * block)
+        t = _dot(by_ref[p], fv, precision)
+        prod = (t * bxe).astype(s_mat.dtype)
+        o_ref[p] = _dot(prod, s_mat,
+                        "split_rhs_exact" if precision == "split"
+                        else precision)
+
+
+def ps_roi_align_pallas_padded_g1(features, boxes, output_size=(7, 7),
+                                  spatial_scale=1.0 / 16,
+                                  sampling_ratio=-1, sampling_max=4,
+                                  c_out=None, precision="default",
+                                  interpret=False):
+    """``ps_roi_align_pallas_padded`` with ONE program per image (the
+    per-image blocks — bxe, S — provably load once; the per-bin-row
+    feature extraction is a static lane-block slice in VMEM).
+
+    At precision="default" the operands are shipped bf16 — bit-identical
+    results (DEFAULT dots round their inputs to bf16 regardless) at half
+    the VMEM residency; the f32-operand form exceeds the 16 MB scoped
+    budget at the b32 operating point."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c_pad = features.shape
+    ph, pw = output_size
+    block = c_pad // ph
+    assert block * ph == c_pad
+    assert c_out is not None and c_out * pw <= block
+    n = boxes.shape[1]
+    by, bx = _batched_prep(boxes, h, w, output_size, spatial_scale, -0.5,
+                           0.1, sampling_ratio, sampling_max)
+    k = w * block
+    ol = c_out * pw
+    od = jnp.bfloat16 if precision == "default" else jnp.float32
+
+    byp = by.astype(od).transpose(0, 2, 1, 3)              # [B, P, N, H]
+    bxe = jnp.pad(jnp.broadcast_to(
+        bx.astype(od).transpose(0, 1, 3, 2)[:, :, :, None, :],
+        (b, n, w, c_out, pw)).reshape(b, n, w, ol),
+        ((0, 0), (0, 0), (0, 0), (0, block - ol))).reshape(b, n, k)
+    s_mat = jnp.kron(
+        jnp.ones((w, 1), jnp.float32),
+        jnp.pad(jnp.eye(ol, dtype=jnp.float32),
+                ((0, block - ol), (0, 0)))).astype(od)
+
+    kernel = functools.partial(_roi_kernel_sliced, n_p=ph, block=block,
+                               precision=precision)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, ph, n, h), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, h, w, c_pad), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, ph, n, ol), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, ph, n, ol), jnp.float32),
+        interpret=interpret,
+    )(byp, features.astype(od), bxe, s_mat)
+    return (out.reshape(b, ph, n, c_out, pw)
+            .transpose(0, 2, 1, 4, 3))

@@ -276,3 +276,35 @@ def test_fusion_roi_impl_pallas_matches_einsum(rng):
     np.testing.assert_allclose(np.asarray(out_p["boxes"]),
                                np.asarray(out_e["boxes"]),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_ps_roi_padded_channels(rng):
+    """ps_roi_align_pallas_padded over perm+padded channels == the
+    torch-order kernel (and hence the einsum)."""
+    from millieye_tpu.ops.roi_pallas import (ps_channel_perm_pad,
+                                             ps_roi_align_pallas,
+                                             ps_roi_align_pallas_padded)
+
+    b, n, c_out = 2, 8, 10
+    feats = jnp.asarray(rng.standard_normal((b, 13, 13, c_out * 49)),
+                        jnp.float32)
+    boxes = np.zeros((b, n, 4), np.float32)
+    xy = rng.uniform(0, 150, size=(b, n, 2))
+    boxes[..., :2] = xy
+    boxes[..., 2:] = xy + rng.uniform(8, 100, size=(b, n, 2))
+    boxes = jnp.asarray(boxes)
+    want = np.asarray(ps_roi_align_pallas(feats, boxes,
+                                          precision="highest",
+                                          interpret=True))
+    dst = ps_channel_perm_pad(c_out, 7, 7)
+    fpad = np.zeros(feats.shape[:-1] + (7 * 128,), np.float32)
+    fpad[..., dst] = np.asarray(feats)
+    got = np.asarray(ps_roi_align_pallas_padded(
+        jnp.asarray(fpad), boxes, c_out=c_out, precision="highest",
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    from millieye_tpu.ops.roi_pallas import ps_roi_align_pallas_padded_g1
+    got1 = np.asarray(ps_roi_align_pallas_padded_g1(
+        jnp.asarray(fpad), boxes, c_out=c_out, precision="highest",
+        interpret=True))
+    np.testing.assert_allclose(got1, want, rtol=1e-4, atol=1e-5)
