@@ -175,7 +175,11 @@ def main():
                 # + VMEM-resident Pallas RoI crops (ops/roi_pallas.py)
                 ("bfloat16", "pallas_max", (), False, False, (0, 2, 4),
                  "float16", (), "bfloat16", (0, 2), True, "default",
-                 "phase", "pallas"))
+                 "phase", "pallas"),
+                # + stage-0 K-packed stem (fused_stem2_packed)
+                ("bfloat16", "pallas_packed", (), False, False, (0, 2, 4),
+                 "float16", (), "bfloat16", (0, 2), True, "default",
+                 "packed", "pallas"))
     global _DROPPED_STALE
     only = os.environ.get("MILLIEYE_ONLY")
     if only:

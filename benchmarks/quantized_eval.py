@@ -150,6 +150,17 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
                          dict(params, darknet=fp), "bfloat16"),
         "pallas_max": (FusionNetwork(phase_dn, roi_cfg),
                        dict(params, darknet=fp), "bfloat16"),
+        # + stage-0 K-packed stem (numerics == phase at the same
+        # precision; this row is the trained-net no-regression gate)
+        "pallas_packed": (FusionNetwork(
+            Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                    img_size=IMG, hi_prec_stages=(0, 2, 4),
+                    hi_prec_store=jnp.float16,
+                    pallas_stem_stages=(0, 2),
+                    pallas_stem_pair=True,
+                    pallas_stem_precision="default",
+                    pallas_stem_pair_variant="packed"), roi_cfg),
+            dict(params, darknet=fp), "bfloat16"),
         "bf16_f32stem": (FusionNetwork(
             mixed_dn, FusionConfig(conf_thresh=0.2, pre_nms_top_k=512,
                                    max_det=64, max_radar=16,

@@ -74,6 +74,12 @@ def main_stem2():
     e_ph = np.abs(got_ph - ref_hi).max()
     print(f"stem2_phase maxerr {e_ph:.2e}", flush=True)
     assert e_ph < 1e-4, e_ph
+    from millieye_tpu.ops.stem_pallas import fused_stem2_packed
+    got_pk = np.asarray(fused_stem2_packed(x, w0, b0, w1, b1,
+                                           precision="default",
+                                           scratch_dtype=jnp.bfloat16))
+    e_pk = np.abs(got_pk - ref_hi).max()
+    print(f"stem2_packed(default/bf16s) maxerr {e_pk:.2e}", flush=True)
     g16 = np.asarray(fused_stem2_planar(x, w0, b0, w1, b1,
                                         out_dtype=jnp.float16))
     assert g16.dtype == np.float16
@@ -97,10 +103,18 @@ def main_stem2():
         ("phase_bf16s", lambda z: fused_stem2_phase(
             z, w0, b0, w1, b1, precision="default",
             scratch_dtype=jnp.bfloat16)),
+        ("packed_bf16s", lambda z: fused_stem2_packed(
+            z, w0, b0, w1, b1, precision="default",
+            scratch_dtype=jnp.bfloat16)),
+        ("packed_highest", lambda z: fused_stem2_packed(
+            z, w0, b0, w1, b1)),
     ):
-        t = bench_scanned(f, x, k=10)
-        print(f"  {name:.<18} {t*1e6:.0f} us/batch "
-              f"({b_sz/t:.0f} fps)", flush=True)
+        try:
+            t = bench_scanned(f, x, k=10)
+            print(f"  {name:.<18} {t*1e6:.0f} us/batch "
+                  f"({b_sz/t:.0f} fps)", flush=True)
+        except Exception as e:
+            print(f"  {name:.<18} FAILED {str(e)[:140]}", flush=True)
 
 
 def main():

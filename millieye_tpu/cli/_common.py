@@ -88,6 +88,14 @@ SERVING_PRESETS = {
                    "pallas_precision": "default",
                    "pallas_variant": "phase",
                    "roi_impl": "pallas", "roi_precision": "default"},
+    # + stage-0 K-packing (4 row-groups per MXU column, block-diagonal
+    # weight tile — ops/stem_pallas.py:fused_stem2_packed)
+    "pallas_packed": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                      "hi_store": "float16", "heads_dtype": "bfloat16",
+                      "pallas": (0, 2), "pallas_pair": True,
+                      "pallas_precision": "default",
+                      "pallas_variant": "packed",
+                      "roi_impl": "pallas", "roi_precision": "default"},
     "s2d": {"s2d": True},
     "bf16_s2d": {"compute_dtype": "bfloat16", "s2d": True},
     "int8": {"s2d": True, "weights_int8": True},

@@ -212,7 +212,9 @@ class Darknet:
         # pair-kernel spelling: "select" = one-hot pool-select matmuls
         # (fused_stem2_planar), "phase" = phase-grouped lanes with the
         # pool as lane-block maxes (fused_stem2_phase, ~9% faster
-        # on-chip at DEFAULT dots, bit-comparable)
+        # on-chip at DEFAULT dots, bit-comparable), "packed" = phase +
+        # stage-0 K-packing (4 row-groups per MXU column via a block-
+        # diagonal weight tile, fused_stem2_packed — same numerics)
         self.pallas_stem_pair_variant = pallas_stem_pair_variant
         # conv-dot MXU passes inside the kernels ("highest"/"high"/
         # "default") — on-chip the dots dominate, and one-pass bf16
@@ -451,11 +453,21 @@ class Darknet:
             if i in pair_skip:
                 x = outputs[-1]   # consumed by the double-fused pair
             elif i == pair_lo:
-                from millieye_tpu.ops.stem_pallas import (fused_stem2_phase,
-                                                          fused_stem2_planar)
-                pair_fn = (fused_stem2_phase
-                           if self.pallas_stem_pair_variant == "phase"
-                           else fused_stem2_planar)
+                from millieye_tpu.ops.stem_pallas import (
+                    fused_stem2_packed, fused_stem2_phase,
+                    fused_stem2_planar)
+                pair_fn = {"phase": fused_stem2_phase,
+                           "packed": fused_stem2_packed}.get(
+                    self.pallas_stem_pair_variant, fused_stem2_planar)
+                pair_kw = {}
+                if self.pallas_stem_pair_variant == "packed":
+                    # bf16 scratches are bit-identical under DEFAULT dots
+                    # and keep the packed kernel's larger s0 inside the
+                    # 16 MB scoped-VMEM budget (stem_pallas.py docstring)
+                    pair_kw["scratch_dtype"] = (
+                        jnp.bfloat16
+                        if self.pallas_stem_precision == "default"
+                        else None)
                 xin = outputs[-1] if outputs else images
                 assert (info["act"] == "leaky"
                         and self._plan[i + 2]["act"] == "leaky"), \
@@ -473,7 +485,7 @@ class Darknet:
                     p2["w"], p2["b"],
                     interpret=jax.default_backend() != "tpu",
                     out_dtype=jnp.dtype(store),
-                    precision=self.pallas_stem_precision)
+                    precision=self.pallas_stem_precision, **pair_kw)
             elif t == "convolutional" and _pallas_fused(i):
                 from millieye_tpu.ops.stem_pallas import fused_stem_planar
                 xin = outputs[-1] if outputs else images

@@ -104,3 +104,127 @@ def nms_keep_mask_pallas(boxes, valid, iou_thresh, interpret=False):
       tboxes.astype(jnp.float32),
       valid.astype(jnp.int32)[..., None])
     return keep[..., 0] != 0
+
+
+# ---------------------------------------------------------------------------
+# Block-sequential greedy NMS ("blocked"): the fixpoint kernel's VPU fix.
+#
+# The one-shot kernel above iterates a [K, K] operator until stable —
+# chain-depth iterations over the FULL matrix, each a K*K multiply +
+# lane reduction, and the keep vector flips orientation (lane<->sublane)
+# every iteration. Greedy suppression only flows from higher- to lower-
+# ranked rows, so processing 128-row blocks IN RANK ORDER is exact:
+#
+#   for block j (static unroll):
+#     iou_j   = iou(block rows, all cols >= block start)   [Bk, K-r0]
+#     settle the block's keep bits by fixpoint on its [Bk, Bk] slice
+#       (hit = O @ keep as an MXU [Bk,Bk]x[Bk,1] dot — the state stays
+#        a sublane vector, no per-iteration transpose)
+#     hit(later cols) |= any kept block row with iou > t   (sublane max)
+#
+# Work drops from chain_depth * K^2 to ~K^2/2 + chain_depth * Bk^2 per
+# image, and every iteration touches a 16x smaller matrix. Bit-identical
+# keep set: same IoU arithmetic, same fixpoint operator, same ordering
+# (tests/test_nms.py pins all implementations to the sequential golden).
+# ---------------------------------------------------------------------------
+
+
+def _nms_kernel_blocked(thresh_ref, boxes_ref, tboxes_ref, valid_ref,
+                        keep_ref, *, bk):
+    """One image, rank-ordered 128-row blocks (see module comment).
+    boxes [K, 4] score-sorted; tboxes [4, K]; valid/keep [K, 1] int32."""
+    t = thresh_ref[0]
+    boxes = boxes_ref[0]                           # [K, 4]
+    tb = tboxes_ref[0]                             # [4, K]
+    k = boxes.shape[0]
+    nb = k // bk
+
+    x1t, y1t, x2t, y2t = tb[0:1, :], tb[1:2, :], tb[2:3, :], tb[3:4, :]
+    areat = (x2t - x1t) * (y2t - y1t)              # [1, K]
+    hitS = jnp.zeros((k, 1), jnp.float32)          # sublane hit state
+
+    for j in range(nb):
+        r0 = j * bk
+        w = k - r0
+        x1 = boxes[r0:r0 + bk, 0:1]
+        y1 = boxes[r0:r0 + bk, 1:2]
+        x2 = boxes[r0:r0 + bk, 2:3]
+        y2 = boxes[r0:r0 + bk, 3:4]
+        ix1 = jnp.maximum(x1, x1t[:, r0:])
+        iy1 = jnp.maximum(y1, y1t[:, r0:])
+        ix2 = jnp.minimum(x2, x2t[:, r0:])
+        iy2 = jnp.minimum(y2, y2t[:, r0:])
+        inter = (jnp.maximum(ix2 - ix1, 0.0)
+                 * jnp.maximum(iy2 - iy1, 0.0))    # [Bk, w]
+        area = (x2 - x1) * (y2 - y1)               # [Bk, 1]
+        iou = inter / (area + areat[:, r0:] - inter + 1e-16)
+        over = jnp.where(iou > t, 1.0, 0.0)        # [Bk, w] f32
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 1)
+        o_blk = jnp.where(col < row, over[:, :bk], 0.0)
+
+        validS = valid_ref[0, r0:r0 + bk].astype(jnp.float32)
+        alive = validS * jnp.where(hitS[r0:r0 + bk] > 0, 0.0, 1.0)
+
+        def suppress(keep):
+            # hit = O @ keep: the state stays a [Bk, 1] sublane vector —
+            # no lane<->sublane relayout anywhere in the fixpoint
+            hit = jax.lax.dot_general(
+                o_blk, keep, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return alive * jnp.where(hit > 0, 0.0, 1.0)
+
+        def cond(state):
+            keep, prev, it = state
+            return jnp.logical_and(it < bk,
+                                   jnp.max(jnp.abs(keep - prev)) > 0)
+
+        def body(state):
+            keep, _, it = state
+            return suppress(keep), keep, it + 1
+
+        init = suppress(alive)
+        keep_blk, _, _ = jax.lax.while_loop(cond, body,
+                                            (init, alive, jnp.int32(0)))
+        keep_ref[0, r0:r0 + bk] = keep_blk.astype(jnp.int32)
+
+        if w > bk:
+            # forward application as a TRANSPOSED dot: hit over later
+            # rows = over[:, bk:]^T @ keep — again sublane-space only
+            upd = jax.lax.dot_general(
+                over[:, bk:], keep_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [w-bk, 1]
+            hitS = hitS + jnp.pad(upd, ((r0 + bk, 0), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thresh", "interpret"))
+def nms_keep_mask_pallas_blocked(boxes, valid, iou_thresh, interpret=False):
+    """Block-sequential spelling of ``nms_keep_mask_pallas`` — identical
+    contract and keep set. Requires K % 128 == 0 (serving K=512)."""
+    b, k, _ = boxes.shape
+    bk = 128
+    assert k % bk == 0, k
+    thresh = jnp.full((1,), iou_thresh, jnp.float32)
+    tboxes = boxes.transpose(0, 2, 1)
+    keep = pl.pallas_call(
+        functools.partial(_nms_kernel_blocked, bk=bk),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k, 1), jnp.int32),
+        interpret=interpret,
+    )(thresh,
+      boxes.astype(jnp.float32),
+      tboxes.astype(jnp.float32),
+      valid.astype(jnp.int32)[..., None])
+    return keep[..., 0] != 0

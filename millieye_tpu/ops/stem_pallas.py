@@ -870,3 +870,275 @@ def fused_stem2_phase(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
       b1.astype(jnp.float32).reshape(c_out, 1))
     return (out[:, :, :, :w_in // 4].transpose(0, 2, 3, 1)
             .astype(out_dtype))
+
+
+# ---------------------------------------------------------------------------
+# K-PACKED phase kernel ("packed"): stage-0's MXU structural fix.
+#
+# The phase kernel's stage-0 dot is [c_mid=16, K=32] x [32, N] — the
+# 128x128 MXU loads 32 of 128 K-rows and 16 of 128 M-cols, so each
+# streamed column does 512 of 16384 possible MACs (~3%), and the kernel
+# is column-streaming bound (measured 2787 us/b32 ~= the N_total/4MXU
+# cycle count). Fix: pack FOUR 16-row groups of a 64-row superband into
+# the K dimension with a block-diagonal weight tile
+#
+#     a0bd = blockdiag(a0, a0, a0, a0)          [4*c_mid=64, 4*K0=128]
+#     z    = [128, 16*wq]   rows g*32+idx = group-g patches
+#     y    = a0bd @ z       [64, 16*wq]   rows g*16+ch = group-g outputs
+#
+# Every column now carries 4 positions' patches (K=128 fully loaded,
+# M=64): 16x the useful MACs per cycle, 4x fewer streamed columns for
+# stage 0. The fill work is unchanged (same [16, wq] copies, 4x per
+# superband, 4x fewer superbands). Stage 1 (K=144, M=32, ~28% per-pass
+# utilization) is left in the phase formulation — packing would push
+# K past 128. Projected stage-0 dot time: ~4x down; kernel total
+# ~2.8 -> ~1.6 ms/b32.
+#
+# Epilogue: h % 64 == 32 leaves a half superband — it runs the same
+# band body statically with n_groups=2 (groups 2/3 would compute from
+# stale scratch and, worse, STORE into y1's zeroed bottom halo, which
+# stage-1's halo reads rely on).
+# ---------------------------------------------------------------------------
+
+
+def _stem_kernel_planar2_packed(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
+                                o_ref, xb, s0, y1, s1, sem, *,
+                                q, cin, c_mid, c_out, k0_pad, k1,
+                                n_sb, rem_groups, n_bands1, precision,
+                                n_e, n_o, sdtype):
+    """K-packed phase-grouped double-fused stem kernel (module comment
+    above). Lane layouts identical to ``_stem_kernel_planar2_phase``;
+    only stage-0's band/K structure differs (64-row superbands, 4
+    groups packed into K)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    a0 = a0_ref[...]                      # [4*c_mid, 4*K0_pad] blockdiag
+    bias0 = b0_ref[...]                   # [4*c_mid, 1]
+    a1 = a1_ref[...]                      # [c_out, K1]
+    bias1 = b1_ref[...]                   # [c_out, 1]
+    wq = 4 * q
+    w_mid = 2 * q
+
+    # zero each group's K-padding rows ONCE: their weights are zero, but
+    # 0 * stale-inf/nan garbage would still poison the accumulation
+    if k0_pad > 9 * cin:
+        for g in range(4):
+            s0[g * k0_pad + 9 * cin:(g + 1) * k0_pad] = jnp.zeros(
+                (k0_pad - 9 * cin, 16, wq), sdtype)
+    if rem_groups and not n_sb:
+        # epilogue-only (h < 64): groups >= rem_groups are never filled;
+        # their weights are zero but 0 * uninitialized-NaN would poison
+        # every output row, so zero them once
+        s0[rem_groups * k0_pad:] = jnp.zeros(
+            ((4 - rem_groups) * k0_pad, 16, wq), sdtype)
+    y1[:, 0:8] = jnp.zeros((c_mid, 8, w_mid), jnp.float32)
+    pooled_rows = 8 * (4 * n_sb + rem_groups)
+    tail = y1.shape[1] - (8 + pooled_rows)
+    if tail:
+        y1[:, 8 + pooled_rows:] = jnp.zeros((c_mid, tail, w_mid),
+                                            jnp.float32)
+
+    # hoisted masks (band-invariant)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (72, wq), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (32, w_mid), 1)
+    lanep = jax.lax.broadcasted_iota(jnp.int32, (4 * c_mid, 8, q), 2)
+
+    def in_dma(i, slot):
+        return pltpu.make_async_copy(
+            x_ref.at[b, :, pl.ds(64 * i, 72)], xb.at[slot], sem.at[slot])
+
+    def superband(i, slot, n_groups):
+        """Fill n_groups' K-blocks from xb[slot], one packed dot, pool,
+        store each group's 8 pooled rows. ``i``/``slot`` may be traced
+        (fori) or static (epilogue); ``n_groups`` is static."""
+        for c in range(cin):
+            big = xb[slot, c]                              # [72, wq]
+            for v in range(3):
+                if v == 0:
+                    bv = big
+                else:
+                    sh = (4 - v) * q
+                    t = pltpu.roll(big, sh, 1)         # src = dest + v*q
+                    fx = pltpu.roll(big, sh - 1, 1)    # src = dest + v*q+1
+                    bv = jnp.where(lane0 >= (4 - v) * q, fx, t)
+                for u in range(3):
+                    for g in range(n_groups):
+                        s0[g * k0_pad + c * 9 + u * 3 + v] = \
+                            bv[16 * g + u:16 * g + u + 16]
+        z = s0[...].reshape(4 * k0_pad, 16 * wq)
+        y = jax.lax.dot_general(
+            a0, z, (((1,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32)        # [4*c_mid, 16wq]
+        y = y + bias0
+        y = jnp.where(y > 0, y, 0.1 * y)
+        y3 = y.reshape(4 * c_mid, 8, 2 * wq)
+        rmax = jnp.maximum(y3[:, :, :wq], y3[:, :, wq:])
+        pe = jnp.maximum(rmax[:, :, 0:q], rmax[:, :, q:2 * q])
+        po = jnp.maximum(rmax[:, :, 2 * q:3 * q], rmax[:, :, 3 * q:])
+        pe = jnp.where(lanep < n_e, pe, 0.0)
+        po = jnp.where(lanep < n_o, po, 0.0)
+        for g in range(n_groups):
+            r = pl.multiple_of(8 + 32 * i + 8 * g, 8)
+            blk_po = po[g * c_mid:(g + 1) * c_mid]     # [c_mid, 8, q]
+            blk_pe = pe[g * c_mid:(g + 1) * c_mid]
+            y1[:, pl.dslice(r, 8), 0:q] = pltpu.roll(blk_po, 1, 2)
+            y1[:, pl.dslice(r, 8), q:2 * q] = blk_pe
+
+    if n_sb:
+        in_dma(0, 0).start()
+
+        def band0(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_sb)
+            def _():
+                in_dma(i + 1, 1 - slot).start()
+
+            in_dma(i, slot).wait()
+            superband(i, slot, 4)
+            return 0
+
+        jax.lax.fori_loop(0, n_sb, band0, 0)
+
+    if rem_groups:
+        # half superband: rows 64*n_sb .. h-1 (+2 halo) — a short DMA
+        # into the front of a revolving buffer, groups 0..rem_groups-1
+        slot = n_sb % 2
+        ep_rows = 16 * rem_groups + 8
+        cp = pltpu.make_async_copy(
+            x_ref.at[b, :, pl.ds(64 * n_sb, ep_rows)],
+            xb.at[slot, :, pl.ds(0, ep_rows)], sem.at[slot])
+        cp.start()
+        cp.wait()
+        superband(n_sb, slot, rem_groups)
+
+    def band1(i, _):
+        r1 = pl.multiple_of(16 * i, 8)
+        for c in range(c_mid):
+            big = y1[c, pl.dslice(r1, 32)]                 # [32, 2q] f32
+            for v in range(3):
+                if v == 0:
+                    bv = big
+                elif v == 1:
+                    t = pltpu.roll(big, q, 1)          # src = dest + q
+                    fx = pltpu.roll(big, q - 1, 1)     # src = dest + q+1
+                    bv = jnp.where(lane1 >= q, fx, t)
+                else:
+                    # src = dest+1 per block; the two block-crossing
+                    # lanes land at m = q-1, beyond the valid range
+                    bv = pltpu.roll(big, 2 * q - 1, 1)
+                for u in range(3):
+                    s1[c * 9 + u * 3 + v] = bv[u + 7:u + 23].astype(sdtype)
+        z = s1[...].reshape(k1, 16 * w_mid)
+        y = jax.lax.dot_general(
+            a1, z, (((1,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32)            # [c_out, 16*2q]
+        y = y + bias1
+        y = jnp.where(y > 0, y, 0.1 * y)
+        y3 = y.reshape(c_out, 8, 2 * w_mid)
+        rmax = jnp.maximum(y3[:, :, :w_mid], y3[:, :, w_mid:])
+        pooled = jnp.maximum(rmax[:, :, 0:q], rmax[:, :, q:])
+        o_ref[:, pl.dslice(pl.multiple_of(8 * i, 8), 8)] = pooled.astype(
+            o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_bands1, band1, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "out_dtype", "precision",
+                                    "scratch_dtype"))
+def fused_stem2_packed(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
+                       precision="highest", scratch_dtype=None):
+    """K-packed spelling of ``fused_stem2_phase`` — same contract:
+
+    [N, H, W, C] -> [N, H/4, W/4, D1] ==
+        maxpool2(leaky(conv3x3_w1(maxpool2(leaky(conv3x3_w0(x) + b0)))
+                 + b1))
+
+    Stage-0 processes 64-row superbands with four 16-row groups packed
+    into the MXU's K dimension via a block-diagonal weight tile (module
+    comment above): 4x fewer streamed columns at 16x the useful
+    MACs/cycle. Numerics are identical to ``fused_stem2_phase`` at the
+    same ``precision``/``scratch_dtype`` (same dots, same operand
+    rounding — the packing only regroups independent output rows).
+
+    ``scratch_dtype=bfloat16`` (only with precision="default", where it
+    is bit-identical — DEFAULT dots round inputs to bf16 regardless)
+    halves the fill-copy traffic AND the s0/xb/s1 residency: the packed
+    s0 is [4*K0, 16, W] (4 MB f32 at 416px), so bf16 scratches keep the
+    whole resident set comfortably inside the 16 MB scoped budget.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w_in, cin = x.shape
+    c_mid = w0.shape[3]
+    c_out = w1.shape[3]
+    assert w0.shape[:3] == (3, 3, cin), w0.shape
+    assert w1.shape[:3] == (3, 3, c_mid), w1.shape
+    assert h % 32 == 0 and w_in % 4 == 0, (h, w_in)
+    out_dtype = jnp.dtype(out_dtype or x.dtype)
+    store_dtype = (jnp.dtype(jnp.float32) if out_dtype == jnp.float16
+                   else out_dtype)
+    sdtype = jnp.dtype(scratch_dtype or jnp.float32)
+    assert sdtype == jnp.float32 or precision == "default", \
+        "bf16 scratches change numerics unless the dots are DEFAULT"
+    w_pad = _round_up(w_in + 2, 128)
+    assert w_pad % 4 == 0
+    q = w_pad // 4
+    k0_pad = _round_up(9 * cin, 8)
+    k1 = _round_up(9 * c_mid, 8)
+    assert k1 == 9 * c_mid, "c_mid*9 must be sublane-aligned"
+    n_sb = h // 64
+    rem_groups = (h % 64) // 16                  # 0 or 2 given h % 32 == 0
+    n_bands1 = h // 2 // 16
+    h_mid = 16 * (n_bands1 - 1) + 32
+    prec = _PRECISIONS[precision]
+    n_e = (w_in // 2 + 1) // 2
+    n_o = w_in // 2 - n_e
+
+    # phase-grouped input: lane d*q + m = padded col 4m+d (as phase)
+    xpf = jnp.pad(x.astype(jnp.float32).transpose(0, 3, 1, 2),
+                  ((0, 0), (0, 0), (1, 7), (1, 4 * q - w_in - 1)))
+    xq = (xpf.reshape(n, cin, h + 8, q, 4).transpose(0, 1, 2, 4, 3)
+          .reshape(n, cin, h + 8, 4 * q).astype(sdtype))
+    a0 = jnp.pad(w0.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
+        c_mid, 9 * cin), ((0, 0), (0, k0_pad - 9 * cin)))
+    a0bd = jnp.kron(jnp.eye(4, dtype=jnp.float32), a0).astype(sdtype)
+    b0bd = jnp.tile(b0.astype(jnp.float32).reshape(c_mid, 1), (4, 1))
+    a1 = w1.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
+        c_out, k1).astype(sdtype)
+
+    kernel = functools.partial(
+        _stem_kernel_planar2_packed, q=q, cin=cin, c_mid=c_mid,
+        c_out=c_out, k0_pad=k0_pad, k1=k1, n_sb=n_sb,
+        rem_groups=rem_groups, n_bands1=n_bands1, precision=prec,
+        n_e=n_e, n_o=n_o, sdtype=sdtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # xq: HBM + DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, c_out, h // 4, q),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, c_out, h // 4, q),
+                                       store_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, cin, 72, 4 * q), sdtype),          # xb
+            pltpu.VMEM((4 * k0_pad, 16, 4 * q), sdtype),      # s0
+            pltpu.VMEM((c_mid, h_mid, 2 * q), jnp.float32),   # y1
+            pltpu.VMEM((k1, 16, 2 * q), sdtype),              # s1
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xq, a0bd, b0bd, a1, b1.astype(jnp.float32).reshape(c_out, 1))
+    return (out[:, :, :, :w_in // 4].transpose(0, 2, 3, 1)
+            .astype(out_dtype))

@@ -208,3 +208,26 @@ def test_pre_top_k_truncation_sufficiency(rng):
     ok = np.asarray(pre_top_k_sufficient(jnp.asarray(bad), conf, iou_t,
                                          max_det=max_det, pre_top_k=k))
     assert not ok.any()
+
+
+def test_blocked_pallas_keep_mask_bit_identical(rng):
+    """Block-sequential Pallas NMS (rank-ordered 128-row blocks, MXU
+    fixpoint dots) must reproduce the XLA fixpoint / sequential-golden
+    keep set bit-for-bit, including dense deep suppression chains."""
+    import jax
+    from millieye_tpu.ops.nms import nms_keep_mask
+    from millieye_tpu.ops.nms_pallas import nms_keep_mask_pallas_blocked
+
+    for k, spread, density in ((128, 60, 1.0), (512, 60, 0.9),
+                               (512, 300, 0.4)):
+        b = 2
+        centers = rng.uniform(0, spread, (b, k, 2))
+        wh = rng.uniform(10, 80, (b, k, 2))
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1)
+        bj = jnp.asarray(boxes, jnp.float32)
+        vj = jnp.asarray(rng.random((b, k)) < density)
+        want = np.asarray(jax.vmap(lambda bb, vv: nms_keep_mask(
+            bb, vv, 0.5, plus_one=False))(bj, vj))
+        got = np.asarray(nms_keep_mask_pallas_blocked(bj, vj, 0.5,
+                                                      interpret=True))
+        np.testing.assert_array_equal(got, want)
