@@ -170,8 +170,15 @@ def batched_nms(
 
     rows, shifted, v = jax.vmap(prep)(pred)
     if use_pallas:
-        from millieye_tpu.ops.nms_pallas import nms_keep_mask_pallas
-        keep = nms_keep_mask_pallas(shifted, v, iou_thresh)
+        from millieye_tpu.ops.nms_pallas import (
+            nms_keep_mask_pallas, nms_keep_mask_pallas_blocked)
+        if shifted.shape[1] % 128 == 0:
+            # block-sequential kernel: same keep set (bit-identical,
+            # tests), fixpoint iterations on [128,128] slices instead of
+            # the full [K,K] matrix
+            keep = nms_keep_mask_pallas_blocked(shifted, v, iou_thresh)
+        else:
+            keep = nms_keep_mask_pallas(shifted, v, iou_thresh)
     else:
         keep = jax.vmap(
             lambda b, vv: nms_keep_mask(b, vv, iou_thresh, plus_one=False)
