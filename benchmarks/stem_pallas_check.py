@@ -106,6 +106,9 @@ def main_stem2():
         ("packed_bf16s", lambda z: fused_stem2_packed(
             z, w0, b0, w1, b1, precision="default",
             scratch_dtype=jnp.bfloat16)),
+        ("packed_s1plain", lambda z: fused_stem2_packed(
+            z, w0, b0, w1, b1, precision="default",
+            scratch_dtype=jnp.bfloat16, pack_stage1=False)),
         ("packed_highest", lambda z: fused_stem2_packed(
             z, w0, b0, w1, b1)),
     ):

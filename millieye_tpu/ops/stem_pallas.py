@@ -905,11 +905,15 @@ def _stem_kernel_planar2_packed(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                                 o_ref, xb, s0, y1, s1, sem, *,
                                 q, cin, c_mid, c_out, k0_pad, k1,
                                 n_sb, rem_groups, n_bands1, precision,
-                                n_e, n_o, sdtype):
+                                n_e, n_o, sdtype, pack1):
     """K-packed phase-grouped double-fused stem kernel (module comment
     above). Lane layouts identical to ``_stem_kernel_planar2_phase``;
     only stage-0's band/K structure differs (64-row superbands, 4
-    groups packed into K)."""
+    groups packed into K). ``pack1`` additionally M-packs stage 1: two
+    contiguous 8-row halves of each 16-row band share one dot via a
+    block-diagonal [2*c_out, 2*K1] weight tile — 3 K-passes over half
+    the columns instead of 2 over all of them (~25% fewer
+    column-passes)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1030,17 +1034,36 @@ def _stem_kernel_planar2_packed(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                     # lanes land at m = q-1, beyond the valid range
                     bv = pltpu.roll(big, 2 * q - 1, 1)
                 for u in range(3):
-                    s1[c * 9 + u * 3 + v] = bv[u + 7:u + 23].astype(sdtype)
-        z = s1[...].reshape(k1, 16 * w_mid)
-        y = jax.lax.dot_general(
-            a1, z, (((1,), (0,)), ((), ())), precision=precision,
-            preferred_element_type=jnp.float32)            # [c_out, 16*2q]
-        y = y + bias1
-        y = jnp.where(y > 0, y, 0.1 * y)
-        y3 = y.reshape(c_out, 8, 2 * w_mid)
-        rmax = jnp.maximum(y3[:, :, :w_mid], y3[:, :, w_mid:])
-        pooled = jnp.maximum(rmax[:, :, 0:q], rmax[:, :, q:])
-        o_ref[:, pl.dslice(pl.multiple_of(8 * i, 8), 8)] = pooled.astype(
+                    if pack1:
+                        for g in range(2):
+                            s1[g * k1 + c * 9 + u * 3 + v] = bv[
+                                u + 7 + 8 * g:u + 15 + 8 * g].astype(sdtype)
+                    else:
+                        s1[c * 9 + u * 3 + v] = bv[u + 7:u + 23].astype(
+                            sdtype)
+        if pack1:
+            z = s1[...].reshape(2 * k1, 8 * w_mid)
+            y = jax.lax.dot_general(
+                a1, z, (((1,), (0,)), ((), ())), precision=precision,
+                preferred_element_type=jnp.float32)    # [2*c_out, 8*2q]
+            y = y + bias1
+            y = jnp.where(y > 0, y, 0.1 * y)
+            y3 = y.reshape(2 * c_out, 4, 2 * w_mid)
+            rmax = jnp.maximum(y3[:, :, :w_mid], y3[:, :, w_mid:])
+            pooled = jnp.maximum(rmax[:, :, 0:q], rmax[:, :, q:])
+            both = jnp.concatenate([pooled[:c_out], pooled[c_out:]],
+                                   axis=1)             # [c_out, 8, q]
+        else:
+            z = s1[...].reshape(k1, 16 * w_mid)
+            y = jax.lax.dot_general(
+                a1, z, (((1,), (0,)), ((), ())), precision=precision,
+                preferred_element_type=jnp.float32)    # [c_out, 16*2q]
+            y = y + bias1
+            y = jnp.where(y > 0, y, 0.1 * y)
+            y3 = y.reshape(c_out, 8, 2 * w_mid)
+            rmax = jnp.maximum(y3[:, :, :w_mid], y3[:, :, w_mid:])
+            both = jnp.maximum(rmax[:, :, 0:q], rmax[:, :, q:])
+        o_ref[:, pl.dslice(pl.multiple_of(8 * i, 8), 8)] = both.astype(
             o_ref.dtype)
         return 0
 
@@ -1049,9 +1072,10 @@ def _stem_kernel_planar2_packed(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "out_dtype", "precision",
-                                    "scratch_dtype"))
+                                    "scratch_dtype", "pack_stage1"))
 def fused_stem2_packed(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
-                       precision="highest", scratch_dtype=None):
+                       precision="highest", scratch_dtype=None,
+                       pack_stage1=True):
     """K-packed spelling of ``fused_stem2_phase`` — same contract:
 
     [N, H, W, C] -> [N, H/4, W/4, D1] ==
@@ -1109,14 +1133,18 @@ def fused_stem2_packed(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
         c_mid, 9 * cin), ((0, 0), (0, k0_pad - 9 * cin)))
     a0bd = jnp.kron(jnp.eye(4, dtype=jnp.float32), a0).astype(sdtype)
     b0bd = jnp.tile(b0.astype(jnp.float32).reshape(c_mid, 1), (4, 1))
-    a1 = w1.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
-        c_out, k1).astype(sdtype)
+    a1 = w1.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(c_out, k1)
+    b1c = b1.astype(jnp.float32).reshape(c_out, 1)
+    if pack_stage1:
+        a1 = jnp.kron(jnp.eye(2, dtype=jnp.float32), a1)   # [2c_out, 2K1]
+        b1c = jnp.tile(b1c, (2, 1))
+    a1 = a1.astype(sdtype)
 
     kernel = functools.partial(
         _stem_kernel_planar2_packed, q=q, cin=cin, c_mid=c_mid,
         c_out=c_out, k0_pad=k0_pad, k1=k1, n_sb=n_sb,
         rem_groups=rem_groups, n_bands1=n_bands1, precision=prec,
-        n_e=n_e, n_o=n_o, sdtype=sdtype)
+        n_e=n_e, n_o=n_o, sdtype=sdtype, pack1=pack_stage1)
     out = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -1135,10 +1163,11 @@ def fused_stem2_packed(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
             pltpu.VMEM((2, cin, 72, 4 * q), sdtype),          # xb
             pltpu.VMEM((4 * k0_pad, 16, 4 * q), sdtype),      # s0
             pltpu.VMEM((c_mid, h_mid, 2 * q), jnp.float32),   # y1
-            pltpu.VMEM((k1, 16, 2 * q), sdtype),              # s1
+            pltpu.VMEM((2 * k1, 8, 2 * q) if pack_stage1
+                       else (k1, 16, 2 * q), sdtype),         # s1
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xq, a0bd, b0bd, a1, b1.astype(jnp.float32).reshape(c_out, 1))
+    )(xq, a0bd, b0bd, a1, b1c)
     return (out[:, :, :, :w_in // 4].transpose(0, 2, 3, 1)
             .astype(out_dtype))

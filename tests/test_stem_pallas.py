@@ -284,6 +284,10 @@ def test_fused_stem2_packed_matches_two_stages(shape):
     assert got.shape == (n, h // 4, wd // 4, cout)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4)
+    g_s1 = fused_stem2_packed(x, w0, b0, w1, b1, interpret=True,
+                              pack_stage1=False)
+    np.testing.assert_allclose(np.asarray(g_s1), np.asarray(ref),
+                               atol=1e-4)
     g16 = fused_stem2_packed(x, w0, b0, w1, b1, interpret=True,
                              out_dtype=jnp.float16)
     assert g16.dtype == jnp.float16
