@@ -274,7 +274,10 @@ def torch_mirror_detections(sd, plan, feature_tap, image_nhwc, radar_map_nhwc,
     stack = np.stack([refinement_vec[:n_img], yolo_vec], -1)
     hfc = stack @ sd["ensemble_head.fc1.0.weight"].astype(np.float64).T \
         + sd["ensemble_head.fc1.0.bias"].astype(np.float64)
-    hfc = np.where(hfc > 0, hfc, 0.1 * hfc).reshape(n_img, -1)
+    hfc = np.where(hfc > 0, hfc, 0.1 * hfc)
+    # explicit width keeps the zero-detection frame well-defined
+    # (reshape(0, -1) cannot infer -1 from a size-0 array)
+    hfc = hfc.reshape(n_img, hfc.shape[1] * hfc.shape[2])
     e = hfc @ sd["ensemble_head.fc2.0.weight"].astype(np.float64).T \
         + sd["ensemble_head.fc2.0.bias"].astype(np.float64)
     e = np.exp(e - e.max(-1, keepdims=True))
