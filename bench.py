@@ -126,10 +126,17 @@ def _ladder():
     import subprocess
     import sys
 
-    presets = ("pallas_packed", "pallas_max", "pallas_stem2", "f32")
+    # Each rung also de-risks the NEWEST Mosaic surface (trace-time env
+    # knobs, ops/nms.py): rung 3 is the exact r3d chip-proven config
+    # (pallas_stem2 + whole-matrix NMS kernel), rung 4 is fully
+    # Mosaic-free (XLA fixpoint NMS, plain XLA convs).
+    presets = (("pallas_packed", {}),
+               ("pallas_max", {}),
+               ("pallas_stem2", {"MILLIEYE_NMS_BLOCKED": "0"}),
+               ("f32", {"MILLIEYE_NMS_PALLAS": "0"}))
     timeouts = (1500, 1500, 1500, 2400)       # f32 last: generous, proven
-    for serving, tmo in zip(presets, timeouts):
-        env = dict(os.environ, MILLIEYE_BENCH_PRESET=serving)
+    for (serving, extra), tmo in zip(presets, timeouts):
+        env = dict(os.environ, MILLIEYE_BENCH_PRESET=serving, **extra)
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env=env, timeout=tmo,

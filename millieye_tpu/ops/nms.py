@@ -27,6 +27,7 @@ top-``max_det`` (=200) detections survive, exactly like
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -146,9 +147,13 @@ def batched_nms(
     if use_pallas is None:
         # the Pallas kernel holds the [K, K] IoU matrix in VMEM — fine at
         # the serving K=512 (1 MB), not at the untruncated training K
-        # (2535 -> 26 MB); large K falls back to the XLA fixpoint
+        # (2535 -> 26 MB); large K falls back to the XLA fixpoint.
+        # MILLIEYE_NMS_PALLAS=0 forces the (Mosaic-free) XLA fixpoint —
+        # a last-resort escape hatch for the bench ladder. Read at TRACE
+        # time: flip it only across process/compile boundaries.
         use_pallas = (jax.default_backend() == "tpu"
-                      and min(pre_top_k, pred.shape[1]) <= 1024)
+                      and min(pre_top_k, pred.shape[1]) <= 1024
+                      and os.environ.get("MILLIEYE_NMS_PALLAS", "1") != "0")
 
     def prep(p):
         xyxy = xywh_to_xyxy(p[:, :4])
@@ -172,10 +177,13 @@ def batched_nms(
     if use_pallas:
         from millieye_tpu.ops.nms_pallas import (
             nms_keep_mask_pallas, nms_keep_mask_pallas_blocked)
-        if shifted.shape[1] % 128 == 0:
+        if (shifted.shape[1] % 128 == 0
+                and os.environ.get("MILLIEYE_NMS_BLOCKED", "1") != "0"):
             # block-sequential kernel: same keep set (bit-identical,
             # tests), fixpoint iterations on [128,128] slices instead of
-            # the full [K,K] matrix
+            # the full [K,K] matrix. MILLIEYE_NMS_BLOCKED=0 falls back to
+            # the chip-proven whole-matrix kernel (the blocked kernel is
+            # newer Mosaic surface; trace-time read, like above).
             keep = nms_keep_mask_pallas_blocked(shifted, v, iou_thresh)
         else:
             keep = nms_keep_mask_pallas(shifted, v, iou_thresh)
