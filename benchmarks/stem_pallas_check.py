@@ -75,11 +75,15 @@ def main_stem2():
     print(f"stem2_phase maxerr {e_ph:.2e}", flush=True)
     assert e_ph < 1e-4, e_ph
     from millieye_tpu.ops.stem_pallas import fused_stem2_packed
-    got_pk = np.asarray(fused_stem2_packed(x, w0, b0, w1, b1,
-                                           precision="default",
-                                           scratch_dtype=jnp.bfloat16))
-    e_pk = np.abs(got_pk - ref_hi).max()
-    print(f"stem2_packed(default/bf16s) maxerr {e_pk:.2e}", flush=True)
+    try:
+        got_pk = np.asarray(fused_stem2_packed(x, w0, b0, w1, b1,
+                                               precision="default",
+                                               scratch_dtype=jnp.bfloat16))
+        e_pk = np.abs(got_pk - ref_hi).max()
+        print(f"stem2_packed(default/bf16s) maxerr {e_pk:.2e}", flush=True)
+    except Exception as e:  # Mosaic rejection must not kill the gate:
+        # the phase/planar timings below are what pallas_max needs
+        print(f"stem2_packed FAILED {str(e)[:200]}", flush=True)
     g16 = np.asarray(fused_stem2_planar(x, w0, b0, w1, b1,
                                         out_dtype=jnp.float16))
     assert g16.dtype == np.float16

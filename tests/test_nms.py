@@ -231,3 +231,44 @@ def test_blocked_pallas_keep_mask_bit_identical(rng):
         got = np.asarray(nms_keep_mask_pallas_blocked(bj, vj, 0.5,
                                                       interpret=True))
         np.testing.assert_array_equal(got, want)
+
+
+def test_nms_kernel_selection_env_knobs(rng, monkeypatch):
+    """MILLIEYE_NMS_BLOCKED=0 must route the use_pallas path to the
+    whole-matrix kernel (the chip-proven fallback bench.py's ladder
+    pins); default selects the blocked kernel at K % 128 == 0. Both
+    return identical detections. Calls go through the UNJITTED function
+    so the trace-time env read happens per call."""
+    import millieye_tpu.ops.nms as nms_mod
+    import millieye_tpu.ops.nms_pallas as np_mod
+
+    calls = {"blocked": 0, "full": 0}
+    orig_blocked = np_mod.nms_keep_mask_pallas_blocked
+    orig_full = np_mod.nms_keep_mask_pallas
+
+    def blocked(*a, **k):
+        calls["blocked"] += 1
+        return orig_blocked(*a, **dict(k, interpret=True))
+
+    def full(*a, **k):
+        calls["full"] += 1
+        return orig_full(*a, **dict(k, interpret=True))
+
+    monkeypatch.setattr(np_mod, "nms_keep_mask_pallas_blocked", blocked)
+    monkeypatch.setattr(np_mod, "nms_keep_mask_pallas", full)
+
+    pred = jnp.asarray(make_pred(rng))
+    raw = nms_mod.batched_nms.__wrapped__
+
+    monkeypatch.delenv("MILLIEYE_NMS_BLOCKED", raising=False)
+    det_b, val_b = raw(pred, 0.3, 0.5, max_det=64, pre_top_k=128,
+                       use_pallas=True)
+    assert calls == {"blocked": 1, "full": 0}
+
+    monkeypatch.setenv("MILLIEYE_NMS_BLOCKED", "0")
+    det_f, val_f = raw(pred, 0.3, 0.5, max_det=64, pre_top_k=128,
+                       use_pallas=True)
+    assert calls == {"blocked": 1, "full": 1}
+
+    np.testing.assert_array_equal(np.asarray(det_b), np.asarray(det_f))
+    np.testing.assert_array_equal(np.asarray(val_b), np.asarray(val_f))
