@@ -179,7 +179,11 @@ def main():
                 # + stage-0 K-packed stem (fused_stem2_packed)
                 ("bfloat16", "pallas_packed", (), False, False, (0, 2, 4),
                  "float16", (), "bfloat16", (0, 2), True, "default",
-                 "packed", "pallas"))
+                 "packed", "pallas"),
+                # + s2d stage 1 (fused_stem2_s2d)
+                ("bfloat16", "pallas_s2d", (), False, False, (0, 2, 4),
+                 "float16", (), "bfloat16", (0, 2), True, "default",
+                 "s2d", "pallas"))
     global _DROPPED_STALE
     only = os.environ.get("MILLIEYE_ONLY")
     if only:

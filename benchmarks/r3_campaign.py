@@ -9,13 +9,14 @@ round-3 incident), gate-first so an on-chip rejection of a new kernel
 degrades the downstream steps instead of killing them:
 
     1. probe      tiny matmul + D2H fetch (is the tunnel alive at all?)
-    2. stem_gate  benchmarks/stem_pallas_check.py stem2  -> packed ok?
+    2. stem_gate  benchmarks/stem_pallas_check.py stem2  -> packed/s2d ok?
     3. nms_gate   benchmarks/nms_tpu_check.py            -> blocked ok?
     4. details    MILLIEYE_ONLY=pallas_max   (+ blocked-NMS fallback env)
-    5. details    MILLIEYE_ONLY=pallas_packed  (iff packed passed)
-    6. nms_profile
-    7. quantized_eval  MILLIEYE_ONLY=<surviving presets>
-    8. bench.py twice  (LAST: leaves the driver's round-end run warm)
+    5. details    MILLIEYE_ONLY=pallas_packed / pallas_s2d  (iff gated ok)
+    6. write runs/bench_ladder.json: measured-fastest preset first
+    7. nms_profile
+    8. quantized_eval  MILLIEYE_ONLY=<surviving presets>
+    9. bench.py twice  (LAST: leaves the driver's round-end run warm)
 
 Logs: runs/r3_campaign/NN_<step>.log; decisions + rcs + wall times:
 runs/r3_campaign/summary.json (updated after every step, so a mid-
@@ -81,13 +82,15 @@ def main():
 
     # --- gates -----------------------------------------------------------
     rc, tail, dt = run("stem_gate",
-                       ["benchmarks/stem_pallas_check.py", "stem2"], 4200)
-    packed_us = None
-    m = re.search(r"packed_bf16s\.*\s+(\d+) us/batch", tail)
-    if m:
-        packed_us = int(m.group(1))
+                       ["benchmarks/stem_pallas_check.py", "stem2"], 4800)
+    def _us(name):
+        m = re.search(name + r"\.*\s+(\d+) us/batch", tail)
+        return int(m.group(1)) if m else None
+    packed_us, s2d_us = _us("packed_bf16s"), _us("s2d_bf16s")
     packed_ok = rc == 0 and packed_us is not None
-    record("stem_gate", rc, dt, packed_ok=packed_ok, packed_us=packed_us)
+    s2d_ok = rc == 0 and s2d_us is not None
+    record("stem_gate", rc, dt, packed_ok=packed_ok, packed_us=packed_us,
+           s2d_ok=s2d_ok, s2d_us=s2d_us)
 
     rc, tail, dt = run("nms_gate", ["benchmarks/nms_tpu_check.py"], 2400)
     blocked_ok = rc == 0
@@ -117,13 +120,48 @@ def main():
         print("packed stem gate failed -> skipping pallas_packed details",
               flush=True)
 
+    if s2d_ok:
+        rc, tail, dt = run("details_pallas_s2d",
+                           ["benchmarks/details.py"], 4200,
+                           env=dict(base_env, MILLIEYE_ONLY="pallas_s2d"))
+        record("details_pallas_s2d", rc, dt)
+        if rc == 0:
+            presets.append("pallas_s2d")
+    else:
+        print("s2d stem gate failed -> skipping pallas_s2d details",
+              flush=True)
+
+    # measured-fastest preset first for bench.py's ladder (the driver's
+    # round-end bench reads runs/bench_ladder.json), proven fallbacks
+    # always appended
+    try:
+        with open(os.path.join(ROOT, "BENCH_DETAILS.json")) as f:
+            det = json.load(f)
+        fps = {p: det.get(f"fusion_fwd_bfloat16_{p}_b32_fps", 0)
+               for p in presets}
+        order = sorted((p for p in presets if fps[p]),
+                       key=lambda p: -fps[p])
+        rungs = [{"preset": p, "env": nms_env, "timeout": 1500}
+                 for p in order]
+        rungs += [{"preset": "pallas_stem2",
+                   "env": {**nms_env, "MILLIEYE_NMS_BLOCKED": "0"},
+                   "timeout": 1500},
+                  {"preset": "f32", "env": {"MILLIEYE_NMS_PALLAS": "0"},
+                   "timeout": 2400}]
+        with open(os.path.join(ROOT, "runs", "bench_ladder.json"),
+                  "w") as f:
+            json.dump({"rungs": rungs, "b32_fps": fps}, f, indent=1)
+        record("bench_ladder", 0, 0, order=order, b32_fps=fps)
+    except Exception as e:                      # noqa: BLE001
+        print(f"bench_ladder write failed: {e}", flush=True)
+
     rc, tail, dt = run("nms_profile", ["benchmarks/nms_profile.py"], 2400,
                        env=nms_env)
     record("nms_profile", rc, dt)
 
     if presets:
         rc, tail, dt = run("quantized_eval", ["benchmarks/quantized_eval.py"],
-                           7200,
+                           10800,
                            env=dict(nms_env,
                                     MILLIEYE_ONLY=",".join(presets)))
         record("quantized_eval", rc, dt, presets=presets)

@@ -84,6 +84,15 @@ def main_stem2():
     except Exception as e:  # Mosaic rejection must not kill the gate:
         # the phase/planar timings below are what pallas_max needs
         print(f"stem2_packed FAILED {str(e)[:200]}", flush=True)
+    from millieye_tpu.ops.stem_pallas import fused_stem2_s2d
+    try:
+        got_s2 = np.asarray(fused_stem2_s2d(x, w0, b0, w1, b1,
+                                            precision="default",
+                                            scratch_dtype=jnp.bfloat16))
+        e_s2 = np.abs(got_s2 - ref_hi).max()
+        print(f"stem2_s2d(default/bf16s) maxerr {e_s2:.2e}", flush=True)
+    except Exception as e:
+        print(f"stem2_s2d FAILED {str(e)[:200]}", flush=True)
     g16 = np.asarray(fused_stem2_planar(x, w0, b0, w1, b1,
                                         out_dtype=jnp.float16))
     assert g16.dtype == np.float16
@@ -114,6 +123,11 @@ def main_stem2():
             z, w0, b0, w1, b1, precision="default",
             scratch_dtype=jnp.bfloat16, pack_stage1=False)),
         ("packed_highest", lambda z: fused_stem2_packed(
+            z, w0, b0, w1, b1)),
+        ("s2d_bf16s", lambda z: fused_stem2_s2d(
+            z, w0, b0, w1, b1, precision="default",
+            scratch_dtype=jnp.bfloat16)),
+        ("s2d_highest", lambda z: fused_stem2_s2d(
             z, w0, b0, w1, b1)),
     ):
         try:

@@ -96,6 +96,14 @@ SERVING_PRESETS = {
                       "pallas_precision": "default",
                       "pallas_variant": "packed",
                       "roi_impl": "pallas", "roi_precision": "default"},
+    # + 2x2 space-to-depth stage 1 (full-M [4*c_out, 16*c_mid] band
+    # dots — ops/stem_pallas.py:fused_stem2_s2d)
+    "pallas_s2d": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                   "hi_store": "float16", "heads_dtype": "bfloat16",
+                   "pallas": (0, 2), "pallas_pair": True,
+                   "pallas_precision": "default",
+                   "pallas_variant": "s2d",
+                   "roi_impl": "pallas", "roi_precision": "default"},
     "s2d": {"s2d": True},
     "bf16_s2d": {"compute_dtype": "bfloat16", "s2d": True},
     "int8": {"s2d": True, "weights_int8": True},

@@ -214,7 +214,10 @@ class Darknet:
         # pool as lane-block maxes (fused_stem2_phase, ~9% faster
         # on-chip at DEFAULT dots, bit-comparable), "packed" = phase +
         # stage-0 K-packing (4 row-groups per MXU column via a block-
-        # diagonal weight tile, fused_stem2_packed — same numerics)
+        # diagonal weight tile, fused_stem2_packed — same numerics),
+        # "s2d" = packed stage 0 + 2x2 space-to-depth stage 1 (one
+        # full-M [4*c_out, 16*c_mid] dot per 8-output-row band,
+        # fused_stem2_s2d — same products, s2d-regrouped)
         self.pallas_stem_pair_variant = pallas_stem_pair_variant
         # conv-dot MXU passes inside the kernels ("highest"/"high"/
         # "default") — on-chip the dots dominate, and one-pass bf16
@@ -455,12 +458,13 @@ class Darknet:
             elif i == pair_lo:
                 from millieye_tpu.ops.stem_pallas import (
                     fused_stem2_packed, fused_stem2_phase,
-                    fused_stem2_planar)
+                    fused_stem2_planar, fused_stem2_s2d)
                 pair_fn = {"phase": fused_stem2_phase,
-                           "packed": fused_stem2_packed}.get(
+                           "packed": fused_stem2_packed,
+                           "s2d": fused_stem2_s2d}.get(
                     self.pallas_stem_pair_variant, fused_stem2_planar)
                 pair_kw = {}
-                if self.pallas_stem_pair_variant == "packed":
+                if self.pallas_stem_pair_variant in ("packed", "s2d"):
                     # bf16 scratches are bit-identical under DEFAULT dots
                     # and keep the packed kernel's larger s0 inside the
                     # 16 MB scoped-VMEM budget (stem_pallas.py docstring)

@@ -1171,3 +1171,287 @@ def fused_stem2_packed(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     )(xq, a0bd, b0bd, a1, b1c)
     return (out[:, :, :, :w_in // 4].transpose(0, 2, 3, 1)
             .astype(out_dtype))
+
+
+# ---------------------------------------------------------------------------
+# s2d stage-1: 2x2 space-to-depth re-expression of the SECOND stage.
+#
+# Stage 1 (conv3x3 s1 + maxpool2 on the 208-res intermediate) is the
+# packed kernel's residual cost: per 16-row band it fills a [2*K1, 8, 2q]
+# patch scratch with 144 sublane-sliced copies and streams a
+# [2c_out, 288] x [288, 8*2q] dot — 3 K-passes at 50% M utilization over
+# w/2-lane columns. The s2d form indexes the SAME math by pooled-output
+# position instead of conv position:
+#
+#   X[2R+rho, 2C+gam] =: P_{rho,gam}[R, C]      (four 104-res phase grids)
+#   Y[2I+a, 2J+b]      = G_ab[I-(1-a), J-(1-b)]
+#   G_ab[Ihat, Jhat]   = sum_{di,dj in {0,1}} W'_ab[di,dj,:]
+#                          . P_phase[Ihat+di, Jhat+dj]
+#   O[I, J]            = max_ab leaky(G_ab + b1)[I-1+a, J-1+b]
+#
+# i.e. every conv tap (u, v) lands in a 2x2x(4*c_mid) patch around the
+# pooled output — K = 16*c_mid = 256 exactly (no padding rows), and the
+# four pool positions (a, b) become four M-blocks of one [4*c_out, 256]
+# weight tile: a FULL-M, two-K-tile dot over 104-valid-lane columns,
+# ~3x fewer MXU column-passes than the M-packed band dot, with the pool
+# reduced to two lane rolls + sublane-shifted maxes of the dot result.
+# Patch fill is 4 contiguous [9, q] copies + one lane roll per phase
+# channel — ~35% less VPU work than the v-shift fill (measured in ops,
+# interpret; on-chip pending).
+#
+# Stage 0 is unchanged (K-packed superbands) except the store: the pool
+# writes the four (row-parity x col-parity) phase grids directly — the
+# row split falls out of reshaping the conv rows [16, wq] as [4, 4wq]
+# (pooled-even rows = lane blocks 0/1, odd = 2/3), so no strided sublane
+# ops are needed anywhere.
+#
+# Reference role: the cuDNN fused conv+pool stem blocks,
+# module3_our_dataset/yolov3/models.py:12-79.
+# ---------------------------------------------------------------------------
+
+
+def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
+                             o_ref, xb, s0, y1s, s1, sem, *,
+                             q, cin, c_mid, c_out, k0_pad, h4,
+                             n_sb, rem_groups, n_bands1, precision,
+                             n_e, n_o, sdtype):
+    """s2d-stage-1 double-fused stem kernel (module comment above).
+
+    y1s: [4*c_mid, h4+16, q] f32 phase grids — block (2*rho+gam)*c_mid+c,
+    row R+8, lane C = stage-1 input pixel (2R+rho, 2C+gam). Rows 0:8 and
+    8+h4: stay zero (the conv's row halo); lanes >= n_e/n_o are zeroed by
+    the pool masks (the col halo and the dj-roll wrap both rely on it).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    a0 = a0_ref[...]                      # [4*c_mid, 4*K0_pad] blockdiag
+    bias0 = b0_ref[...]                   # [4*c_mid, 1]
+    a1 = a1_ref[...]                      # [4*c_out, 16*c_mid]
+    bias1 = b1_ref[...]                   # [4*c_out, 1]
+    wq = 4 * q
+
+    if k0_pad > 9 * cin:
+        for g in range(4):
+            s0[g * k0_pad + 9 * cin:(g + 1) * k0_pad] = jnp.zeros(
+                (k0_pad - 9 * cin, 16, wq), sdtype)
+    if rem_groups and not n_sb:
+        s0[rem_groups * k0_pad:] = jnp.zeros(
+            ((4 - rem_groups) * k0_pad, 16, wq), sdtype)
+    y1s[:, 0:8] = jnp.zeros((4 * c_mid, 8, q), jnp.float32)
+    y1s[:, 8 + h4:] = jnp.zeros((4 * c_mid, 8, q), jnp.float32)
+
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (72, wq), 1)
+    lanep = jax.lax.broadcasted_iota(jnp.int32, (4 * c_mid, 4, q), 2)
+
+    def in_dma(i, slot):
+        return pltpu.make_async_copy(
+            x_ref.at[b, :, pl.ds(64 * i, 72)], xb.at[slot], sem.at[slot])
+
+    def superband(i, slot, n_groups):
+        """Same fill + packed dot as _stem_kernel_planar2_packed; the
+        pool stores four phase grids instead of two parity blocks."""
+        for c in range(cin):
+            big = xb[slot, c]                              # [72, wq]
+            for v in range(3):
+                if v == 0:
+                    bv = big
+                else:
+                    sh = (4 - v) * q
+                    t = pltpu.roll(big, sh, 1)         # src = dest + v*q
+                    fx = pltpu.roll(big, sh - 1, 1)    # src = dest + v*q+1
+                    bv = jnp.where(lane0 >= (4 - v) * q, fx, t)
+                for u in range(3):
+                    for g in range(n_groups):
+                        s0[g * k0_pad + c * 9 + u * 3 + v] = \
+                            bv[16 * g + u:16 * g + u + 16]
+        z = s0[...].reshape(4 * k0_pad, 16 * wq)
+        y = jax.lax.dot_general(
+            a0, z, (((1,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32)        # [4*c_mid, 16wq]
+        y = y + bias0
+        y = jnp.where(y > 0, y, 0.1 * y)
+        # conv rows [16, wq] as [4, 4wq]: pooled row t = 2s+e pairs conv
+        # rows (4s+2e, 4s+2e+1) = lane blocks 2e, 2e+1 of sublane s
+        y4 = y.reshape(4 * c_mid, 4, 4 * wq)
+        ve = jnp.maximum(y4[:, :, 0:wq], y4[:, :, wq:2 * wq])
+        vo = jnp.maximum(y4[:, :, 2 * wq:3 * wq], y4[:, :, 3 * wq:])
+        for ph, vr in ((0, ve), (1, ve), (2, vo), (3, vo)):
+            gam = ph % 2
+            if gam == 0:
+                p = jnp.maximum(vr[:, :, 0:q], vr[:, :, q:2 * q])
+                p = jnp.where(lanep < n_e, p, 0.0)
+            else:
+                p = jnp.maximum(vr[:, :, 2 * q:3 * q], vr[:, :, 3 * q:])
+                p = jnp.where(lanep < n_o, p, 0.0)
+            cat = jnp.concatenate(
+                [p[g * c_mid:(g + 1) * c_mid] for g in range(n_groups)],
+                axis=1)                                # [c_mid, 4*ng, q]
+            r = pl.multiple_of(8 + 16 * i, 8)
+            y1s[ph * c_mid:(ph + 1) * c_mid,
+                pl.dslice(r, 4 * n_groups)] = cat
+
+    if n_sb:
+        in_dma(0, 0).start()
+
+        def band0(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_sb)
+            def _():
+                in_dma(i + 1, 1 - slot).start()
+
+            in_dma(i, slot).wait()
+            superband(i, slot, 4)
+            return 0
+
+        jax.lax.fori_loop(0, n_sb, band0, 0)
+
+    if rem_groups:
+        slot = n_sb % 2
+        ep_rows = 16 * rem_groups + 8
+        cp = pltpu.make_async_copy(
+            x_ref.at[b, :, pl.ds(64 * n_sb, ep_rows)],
+            xb.at[slot, :, pl.ds(0, ep_rows)], sem.at[slot])
+        cp.start()
+        cp.wait()
+        superband(n_sb, slot, rem_groups)
+
+    def band1(i, _):
+        r8 = pl.multiple_of(8 * i, 8)
+        for ch in range(4 * c_mid):
+            # rows Ihat+8 for Ihat in [8i-1, 8i+8]: one sublane-aligned
+            # row from the previous 8-block + nine from the next 16
+            top8 = y1s[ch, pl.dslice(r8, 8)]
+            main = y1s[ch, pl.dslice(r8 + 8, 16)]
+            u10 = jnp.concatenate([top8[7:8], main[0:9]], axis=0)
+            r10 = pltpu.roll(u10, 1, 1)       # lane j <- P col j-1
+            s1[4 * ch + 0] = r10[0:9].astype(sdtype)     # (di 0, dj 0)
+            s1[4 * ch + 1] = u10[0:9].astype(sdtype)     # (di 0, dj 1)
+            s1[4 * ch + 2] = r10[1:10].astype(sdtype)    # (di 1, dj 0)
+            s1[4 * ch + 3] = u10[1:10].astype(sdtype)    # (di 1, dj 1)
+        z = s1[...].reshape(16 * c_mid, 9 * q)
+        y = jax.lax.dot_general(
+            a1, z, (((1,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32)        # [4*c_out, 9q]
+        y = y + bias1
+        y = jnp.where(y > 0, y, 0.1 * y)
+        g4 = y.reshape(4 * c_out, 9, q)
+        g00 = g4[0:c_out]
+        g01 = pltpu.roll(g4[c_out:2 * c_out], q - 1, 2)    # lane j <- j+1
+        g10 = g4[2 * c_out:3 * c_out]
+        g11 = pltpu.roll(g4[3 * c_out:], q - 1, 2)
+        out = jnp.maximum(jnp.maximum(g00[:, 0:8], g01[:, 0:8]),
+                          jnp.maximum(g10[:, 1:9], g11[:, 1:9]))
+        o_ref[:, pl.dslice(r8, 8)] = out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_bands1, band1, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "out_dtype", "precision",
+                                    "scratch_dtype"))
+def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
+                    precision="highest", scratch_dtype=None):
+    """s2d-stage-1 spelling of ``fused_stem2_packed`` — same contract:
+
+    [N, H, W, C] -> [N, H/4, W/4, D1] ==
+        maxpool2(leaky(conv3x3_w1(maxpool2(leaky(conv3x3_w0(x) + b0)))
+                 + b1))
+
+    Stage 0 runs the K-packed superbands unchanged; stage 1 becomes one
+    [4*c_out, 16*c_mid] x [16*c_mid, 9q] full-M dot per 8-output-row
+    band over 2x2-space-to-depth phase grids (module comment above).
+    Numerics match ``fused_stem2_packed`` at the same ``precision``/
+    ``scratch_dtype``: identical products, identical rounding — the s2d
+    indexing only regroups which dot computes which conv output.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w_in, cin = x.shape
+    c_mid = w0.shape[3]
+    c_out = w1.shape[3]
+    assert w0.shape[:3] == (3, 3, cin), w0.shape
+    assert w1.shape[:3] == (3, 3, c_mid), w1.shape
+    assert h % 32 == 0 and w_in % 4 == 0, (h, w_in)
+    out_dtype = jnp.dtype(out_dtype or x.dtype)
+    store_dtype = (jnp.dtype(jnp.float32) if out_dtype == jnp.float16
+                   else out_dtype)
+    sdtype = jnp.dtype(scratch_dtype or jnp.float32)
+    assert sdtype == jnp.float32 or precision == "default", \
+        "bf16 scratches change numerics unless the dots are DEFAULT"
+    w_pad = _round_up(w_in + 2, 128)
+    assert w_pad % 4 == 0
+    q = w_pad // 4
+    k0_pad = _round_up(9 * cin, 8)
+    n_sb = h // 64
+    rem_groups = (h % 64) // 16                  # 0 or 2 given h % 32 == 0
+    h4 = h // 4
+    n_bands1 = h4 // 8
+    prec = _PRECISIONS[precision]
+    n_e = (w_in // 2 + 1) // 2
+    n_o = w_in // 2 - n_e
+
+    xpf = jnp.pad(x.astype(jnp.float32).transpose(0, 3, 1, 2),
+                  ((0, 0), (0, 0), (1, 7), (1, 4 * q - w_in - 1)))
+    xq = (xpf.reshape(n, cin, h + 8, q, 4).transpose(0, 1, 2, 4, 3)
+          .reshape(n, cin, h + 8, 4 * q).astype(sdtype))
+    a0 = jnp.pad(w0.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
+        c_mid, 9 * cin), ((0, 0), (0, k0_pad - 9 * cin)))
+    a0bd = jnp.kron(jnp.eye(4, dtype=jnp.float32), a0).astype(sdtype)
+    b0bd = jnp.tile(b0.astype(jnp.float32).reshape(c_mid, 1), (4, 1))
+
+    # W'_ab[o, k]: tap (u, v) of pool position (a, b) lands at phase
+    # (rho, gam) = ((a-1+u) % 2, (b-1+v) % 2), patch offset
+    # (di, dj) = (du + 1 - a, dv + 1 - b), k = 4*(phase*c_mid + c)
+    # + 2*di + dj (divmod gives the floor pair: -1 = 2*(-1) + 1)
+    wf = w1.astype(jnp.float32)
+    a1s = jnp.zeros((4 * c_out, 16 * c_mid), jnp.float32)
+    for a in (0, 1):
+        for bb in (0, 1):
+            ab = 2 * a + bb
+            for u in range(3):
+                du, rho = divmod(a - 1 + u, 2)
+                di = du + 1 - a
+                for v in range(3):
+                    dv, gam = divmod(bb - 1 + v, 2)
+                    dj = dv + 1 - bb
+                    ph = 2 * rho + gam
+                    col0 = 4 * ph * c_mid + 2 * di + dj
+                    a1s = a1s.at[ab * c_out:(ab + 1) * c_out,
+                                 col0:col0 + 4 * c_mid:4].set(wf[u, v].T)
+    a1s = a1s.astype(sdtype)
+    b1s = jnp.tile(b1.astype(jnp.float32).reshape(c_out, 1), (4, 1))
+
+    kernel = functools.partial(
+        _stem_kernel_planar2_s2d, q=q, cin=cin, c_mid=c_mid,
+        c_out=c_out, k0_pad=k0_pad, h4=h4, n_sb=n_sb,
+        rem_groups=rem_groups, n_bands1=n_bands1, precision=prec,
+        n_e=n_e, n_o=n_o, sdtype=sdtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # xq: HBM + DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, c_out, h4, q),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, c_out, h4, q), store_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, cin, 72, 4 * q), sdtype),          # xb
+            pltpu.VMEM((4 * k0_pad, 16, 4 * q), sdtype),      # s0
+            pltpu.VMEM((4 * c_mid, h4 + 16, q), jnp.float32),  # y1s
+            pltpu.VMEM((16 * c_mid, 9, q), sdtype),            # s1
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xq, a0bd, b0bd, a1s, b1s)
+    return (out[:, :, :, :w_in // 4].transpose(0, 2, 3, 1)
+            .astype(out_dtype))

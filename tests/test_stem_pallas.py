@@ -334,3 +334,76 @@ def test_serving_preset_pallas_packed_builds_and_runs():
     out = model.apply(params, state, images, maps, jnp.asarray(rb),
                       jnp.ones((1, 4), bool), mode=0)
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+@pytest.mark.parametrize("shape", [(2, 64, 64, 3, 16, 32),
+                                   (1, 96, 48, 3, 8, 16),
+                                   (1, 32, 64, 5, 8, 16)])
+def test_fused_stem2_s2d_matches_two_stages(shape):
+    """s2d-stage-1 double-fused kernel (2x2 space-to-depth phase grids,
+    one full-M [4*c_out, 16*c_mid] dot per 8-output-row band) == two XLA
+    conv+pool stages (interpret), over the superband, epilogue and
+    epilogue-only stage-0 paths, plus f16 store and the bf16-scratch
+    default-precision variant."""
+    from millieye_tpu.ops.stem_pallas import fused_stem2_s2d
+
+    n, h, wd, cin, cmid, cout = shape
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.uniform(-1, 1, (n, h, wd, cin)), jnp.float32)
+    w0 = jnp.asarray(0.3 * rng.standard_normal((3, 3, cin, cmid)),
+                     jnp.float32)
+    b0 = jnp.asarray(0.1 * rng.standard_normal(cmid), jnp.float32)
+    w1 = jnp.asarray(0.3 * rng.standard_normal((3, 3, cmid, cout)),
+                     jnp.float32)
+    b1 = jnp.asarray(0.1 * rng.standard_normal(cout), jnp.float32)
+    ref = _plain(_plain(x, w0, b0), w1, b1)
+    got = fused_stem2_s2d(x, w0, b0, w1, b1, interpret=True)
+    assert got.shape == (n, h // 4, wd // 4, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4)
+    g16 = fused_stem2_s2d(x, w0, b0, w1, b1, interpret=True,
+                          out_dtype=jnp.float16)
+    assert g16.dtype == jnp.float16
+    np.testing.assert_allclose(np.asarray(g16, dtype=np.float32),
+                               np.asarray(ref), atol=2e-2)
+    gbf = fused_stem2_s2d(x, w0, b0, w1, b1, interpret=True,
+                          precision="default",
+                          scratch_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(gbf), np.asarray(ref),
+                               atol=0.05, rtol=0.03)
+
+
+def test_serving_preset_pallas_s2d_builds_and_runs():
+    """pallas_s2d preset: builds, darknet dispatches the s2d pair kernel
+    with bf16 scratches at default precision, and one mode-0 forward on
+    CPU (interpret kernels) returns finite boxes."""
+    import numpy as np
+    from millieye_tpu.cli._common import build_fusion, serving_overrides
+
+    s2d, hi, store, pallas_kw, over = serving_overrides("pallas_s2d")
+    assert over["roi_impl"] == "pallas"
+    assert pallas_kw["pallas_variant"] == "s2d"
+
+    class A:
+        model_def = None
+        img_size = 128
+
+    model, params, state = build_fusion(
+        A(), s2d_stages=s2d, hi_prec_stages=hi, hi_prec_store=store,
+        **pallas_kw, conf_thresh=0.05, max_det=16,
+        max_radar=4, pre_nms_top_k=64, nms_use_pallas=False, **over)
+    fp, fs = model.darknet.fold_batchnorm(params["darknet"],
+                                          state["darknet"])
+    params = dict(params, darknet=fp)
+    state = dict(state, darknet=fs)
+    S = model.darknet.img_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(1, S, S, 3)), jnp.float32)
+    maps = jnp.asarray(rng.uniform(size=(1, S // 16, S // 16, 3)),
+                       jnp.float32)
+    rb = np.zeros((1, 4, 4), np.float32)
+    rb[..., :2] = rng.uniform(0.1, 0.5, size=(1, 4, 2))
+    rb[..., 2:] = rb[..., :2] + 0.3
+    out = model.apply(params, state, images, maps, jnp.asarray(rb),
+                      jnp.ones((1, 4), bool), mode=0)
+    assert np.isfinite(np.asarray(out["boxes"])).all()
