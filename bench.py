@@ -126,6 +126,24 @@ def _ladder():
     import subprocess
     import sys
 
+    # Fast liveness probe: when the axon relay is down, backend init
+    # HANGS (observed round 3) — without this, every rung burns its
+    # full timeout and the bench takes 2h to report a dead tunnel.
+    probe = ("import jax, numpy as np, jax.numpy as jnp;"
+             "x = jnp.ones((128,128));"
+             "print('PROBE_OK', float(np.asarray(x @ x)[0,0]))")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe], timeout=600,
+                           capture_output=True, text=True)
+        alive = r.returncode == 0 and "PROBE_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        alive = False
+    if not alive:
+        print("# device probe failed: backend init hung or errored "
+              "(relay down?) — no bench number this run",
+              file=sys.stderr, flush=True)
+        return 1
+
     # Each rung also de-risks the NEWEST Mosaic surface (trace-time env
     # knobs, ops/nms.py): the second-to-last rung is the exact r3d
     # chip-proven config (pallas_stem2 + whole-matrix NMS kernel), the

@@ -183,7 +183,11 @@ def main():
                 # + s2d stage 1 (fused_stem2_s2d)
                 ("bfloat16", "pallas_s2d", (), False, False, (0, 2, 4),
                  "float16", (), "bfloat16", (0, 2), True, "default",
-                 "s2d", "pallas"))
+                 "s2d", "pallas"),
+                # + full-M 128-row stage-0 superbands
+                ("bfloat16", "pallas_s2d8", (), False, False, (0, 2, 4),
+                 "float16", (), "bfloat16", (0, 2), True, "default",
+                 "s2d8", "pallas"))
     global _DROPPED_STALE
     only = os.environ.get("MILLIEYE_ONLY")
     if only:

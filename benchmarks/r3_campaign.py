@@ -9,10 +9,11 @@ round-3 incident), gate-first so an on-chip rejection of a new kernel
 degrades the downstream steps instead of killing them:
 
     1. probe      tiny matmul + D2H fetch (is the tunnel alive at all?)
-    2. stem_gate  benchmarks/stem_pallas_check.py stem2  -> packed/s2d ok?
-    3. nms_gate   benchmarks/nms_tpu_check.py            -> blocked ok?
-    4. details    MILLIEYE_ONLY=pallas_max   (+ blocked-NMS fallback env)
-    5. details    MILLIEYE_ONLY=pallas_packed / pallas_s2d  (iff gated ok)
+    2. stem_gate  stem_pallas_check.py stem2  -> standalone us per stem
+                  spelling (packed / s2d / s2d8); best TWO go e2e
+    3. nms_gate   benchmarks/nms_tpu_check.py -> blocked kernel ok?
+    4. details    MILLIEYE_ONLY=pallas_max  (+ blocked-NMS fallback env)
+    5. details    MILLIEYE_ONLY=<each gated stem candidate>
     6. write runs/bench_ladder.json: measured-fastest preset first
     7. nms_profile
     8. quantized_eval  MILLIEYE_ONLY=<surviving presets>
@@ -82,15 +83,21 @@ def main():
 
     # --- gates -----------------------------------------------------------
     rc, tail, dt = run("stem_gate",
-                       ["benchmarks/stem_pallas_check.py", "stem2"], 4800)
+                       ["benchmarks/stem_pallas_check.py", "stem2"], 5400)
+
     def _us(name):
         m = re.search(name + r"\.*\s+(\d+) us/batch", tail)
         return int(m.group(1)) if m else None
-    packed_us, s2d_us = _us("packed_bf16s"), _us("s2d_bf16s")
-    packed_ok = rc == 0 and packed_us is not None
-    s2d_ok = rc == 0 and s2d_us is not None
-    record("stem_gate", rc, dt, packed_ok=packed_ok, packed_us=packed_us,
-           s2d_ok=s2d_ok, s2d_us=s2d_us)
+
+    stem_us = {"pallas_packed": _us("packed_bf16s"),
+               "pallas_s2d": _us("s2d_bf16s"),
+               "pallas_s2d8": _us("s2d8_bf16s")}
+    # e2e-measure the best TWO gated stem spellings (each details run is
+    # a ~10 min cold compile through the tunnel — don't spend three on
+    # the same stage)
+    gated = sorted((p for p, us in stem_us.items() if us is not None),
+                   key=lambda p: stem_us[p])[:2]
+    record("stem_gate", rc, dt, stem_us=stem_us, candidates=gated)
 
     rc, tail, dt = run("nms_gate", ["benchmarks/nms_tpu_check.py"], 2400)
     blocked_ok = rc == 0
@@ -109,27 +116,15 @@ def main():
     record("details_pallas_max", rc, dt)
     presets = ["pallas_max"] if rc == 0 else []
 
-    if packed_ok:
-        rc, tail, dt = run("details_pallas_packed",
-                           ["benchmarks/details.py"], 4200,
-                           env=dict(base_env, MILLIEYE_ONLY="pallas_packed"))
-        record("details_pallas_packed", rc, dt)
+    for cand in gated:
+        rc, tail, dt = run(f"details_{cand}", ["benchmarks/details.py"],
+                           4200, env=dict(base_env, MILLIEYE_ONLY=cand))
+        record(f"details_{cand}", rc, dt)
         if rc == 0:
-            presets.append("pallas_packed")
-    else:
-        print("packed stem gate failed -> skipping pallas_packed details",
-              flush=True)
-
-    if s2d_ok:
-        rc, tail, dt = run("details_pallas_s2d",
-                           ["benchmarks/details.py"], 4200,
-                           env=dict(base_env, MILLIEYE_ONLY="pallas_s2d"))
-        record("details_pallas_s2d", rc, dt)
-        if rc == 0:
-            presets.append("pallas_s2d")
-    else:
-        print("s2d stem gate failed -> skipping pallas_s2d details",
-              flush=True)
+            presets.append(cand)
+    if not gated:
+        print("no stem spelling survived the gate -> ladder falls back "
+              "to the proven presets", flush=True)
 
     # measured-fastest preset first for bench.py's ladder (the driver's
     # round-end bench reads runs/bench_ladder.json), proven fallbacks

@@ -129,6 +129,11 @@ def main_stem2():
             scratch_dtype=jnp.bfloat16)),
         ("s2d_highest", lambda z: fused_stem2_s2d(
             z, w0, b0, w1, b1)),
+        # groups0=8 needs bf16 scratches at 416px (f32 s0 alone is
+        # 8.4 MB; the f32 set totals ~17 MB > the scoped budget)
+        ("s2d8_bf16s", lambda z: fused_stem2_s2d(
+            z, w0, b0, w1, b1, precision="default",
+            scratch_dtype=jnp.bfloat16, groups0=8)),
     ):
         try:
             t = bench_scanned(f, x, k=10)

@@ -104,6 +104,14 @@ SERVING_PRESETS = {
                    "pallas_precision": "default",
                    "pallas_variant": "s2d",
                    "roi_impl": "pallas", "roi_precision": "default"},
+    # + full-M 128-row stage-0 superbands (groups0=8; bf16 scratches
+    # keep the doubled s0/xb inside the VMEM budget)
+    "pallas_s2d8": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                    "hi_store": "float16", "heads_dtype": "bfloat16",
+                    "pallas": (0, 2), "pallas_pair": True,
+                    "pallas_precision": "default",
+                    "pallas_variant": "s2d8",
+                    "roi_impl": "pallas", "roi_precision": "default"},
     "s2d": {"s2d": True},
     "bf16_s2d": {"compute_dtype": "bfloat16", "s2d": True},
     "int8": {"s2d": True, "weights_int8": True},

@@ -456,15 +456,20 @@ class Darknet:
             if i in pair_skip:
                 x = outputs[-1]   # consumed by the double-fused pair
             elif i == pair_lo:
+                import functools as _ft
+
                 from millieye_tpu.ops.stem_pallas import (
                     fused_stem2_packed, fused_stem2_phase,
                     fused_stem2_planar, fused_stem2_s2d)
                 pair_fn = {"phase": fused_stem2_phase,
                            "packed": fused_stem2_packed,
-                           "s2d": fused_stem2_s2d}.get(
+                           "s2d": fused_stem2_s2d,
+                           "s2d8": _ft.partial(fused_stem2_s2d,
+                                               groups0=8)}.get(
                     self.pallas_stem_pair_variant, fused_stem2_planar)
                 pair_kw = {}
-                if self.pallas_stem_pair_variant in ("packed", "s2d"):
+                if self.pallas_stem_pair_variant in ("packed", "s2d",
+                                                     "s2d8"):
                     # bf16 scratches are bit-identical under DEFAULT dots
                     # and keep the packed kernel's larger s0 inside the
                     # 16 MB scoped-VMEM budget (stem_pallas.py docstring)

@@ -1212,10 +1212,15 @@ def fused_stem2_packed(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
 
 def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                              o_ref, xb, s0, y1s, s1, sem, *,
-                             q, cin, c_mid, c_out, k0_pad, h4,
+                             q, cin, c_mid, c_out, k0_pad, h4, g0,
                              n_sb, rem_groups, n_bands1, precision,
                              n_e, n_o, sdtype):
     """s2d-stage-1 double-fused stem kernel (module comment above).
+
+    ``g0``: stage-0 groups per superband (4 = the packed kernel's
+    layout, M = 4*c_mid; 8 = full-M 128-row superbands, double the
+    useful MACs/cycle at double the s0/xb residency — bf16 scratches
+    only).
 
     y1s: [4*c_mid, h4+16, q] f32 phase grids — block (2*rho+gam)*c_mid+c,
     row R+8, lane C = stage-1 input pixel (2R+rho, 2C+gam). Rows 0:8 and
@@ -1226,34 +1231,36 @@ def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     b = pl.program_id(0)
-    a0 = a0_ref[...]                      # [4*c_mid, 4*K0_pad] blockdiag
-    bias0 = b0_ref[...]                   # [4*c_mid, 1]
+    a0 = a0_ref[...]                      # [g0*c_mid, g0*K0_pad] blockdiag
+    bias0 = b0_ref[...]                   # [g0*c_mid, 1]
     a1 = a1_ref[...]                      # [4*c_out, 16*c_mid]
     bias1 = b1_ref[...]                   # [4*c_out, 1]
     wq = 4 * q
+    sb_rows = 16 * g0
 
     if k0_pad > 9 * cin:
-        for g in range(4):
+        for g in range(g0):
             s0[g * k0_pad + 9 * cin:(g + 1) * k0_pad] = jnp.zeros(
                 (k0_pad - 9 * cin, 16, wq), sdtype)
     if rem_groups and not n_sb:
         s0[rem_groups * k0_pad:] = jnp.zeros(
-            ((4 - rem_groups) * k0_pad, 16, wq), sdtype)
+            ((g0 - rem_groups) * k0_pad, 16, wq), sdtype)
     y1s[:, 0:8] = jnp.zeros((4 * c_mid, 8, q), jnp.float32)
     y1s[:, 8 + h4:] = jnp.zeros((4 * c_mid, 8, q), jnp.float32)
 
-    lane0 = jax.lax.broadcasted_iota(jnp.int32, (72, wq), 1)
-    lanep = jax.lax.broadcasted_iota(jnp.int32, (4 * c_mid, 4, q), 2)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (sb_rows + 8, wq), 1)
+    lanep = jax.lax.broadcasted_iota(jnp.int32, (g0 * c_mid, 4, q), 2)
 
     def in_dma(i, slot):
         return pltpu.make_async_copy(
-            x_ref.at[b, :, pl.ds(64 * i, 72)], xb.at[slot], sem.at[slot])
+            x_ref.at[b, :, pl.ds(sb_rows * i, sb_rows + 8)], xb.at[slot],
+            sem.at[slot])
 
     def superband(i, slot, n_groups):
         """Same fill + packed dot as _stem_kernel_planar2_packed; the
         pool stores four phase grids instead of two parity blocks."""
         for c in range(cin):
-            big = xb[slot, c]                              # [72, wq]
+            big = xb[slot, c]                        # [sb_rows + 8, wq]
             for v in range(3):
                 if v == 0:
                     bv = big
@@ -1266,15 +1273,15 @@ def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                     for g in range(n_groups):
                         s0[g * k0_pad + c * 9 + u * 3 + v] = \
                             bv[16 * g + u:16 * g + u + 16]
-        z = s0[...].reshape(4 * k0_pad, 16 * wq)
+        z = s0[...].reshape(g0 * k0_pad, 16 * wq)
         y = jax.lax.dot_general(
             a0, z, (((1,), (0,)), ((), ())), precision=precision,
-            preferred_element_type=jnp.float32)        # [4*c_mid, 16wq]
+            preferred_element_type=jnp.float32)     # [g0*c_mid, 16wq]
         y = y + bias0
         y = jnp.where(y > 0, y, 0.1 * y)
         # conv rows [16, wq] as [4, 4wq]: pooled row t = 2s+e pairs conv
         # rows (4s+2e, 4s+2e+1) = lane blocks 2e, 2e+1 of sublane s
-        y4 = y.reshape(4 * c_mid, 4, 4 * wq)
+        y4 = y.reshape(g0 * c_mid, 4, 4 * wq)
         ve = jnp.maximum(y4[:, :, 0:wq], y4[:, :, wq:2 * wq])
         vo = jnp.maximum(y4[:, :, 2 * wq:3 * wq], y4[:, :, 3 * wq:])
         for ph, vr in ((0, ve), (1, ve), (2, vo), (3, vo)):
@@ -1288,7 +1295,7 @@ def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
             cat = jnp.concatenate(
                 [p[g * c_mid:(g + 1) * c_mid] for g in range(n_groups)],
                 axis=1)                                # [c_mid, 4*ng, q]
-            r = pl.multiple_of(8 + 16 * i, 8)
+            r = pl.multiple_of(8 + 4 * g0 * i, 8)
             y1s[ph * c_mid:(ph + 1) * c_mid,
                 pl.dslice(r, 4 * n_groups)] = cat
 
@@ -1303,7 +1310,7 @@ def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                 in_dma(i + 1, 1 - slot).start()
 
             in_dma(i, slot).wait()
-            superband(i, slot, 4)
+            superband(i, slot, g0)
             return 0
 
         jax.lax.fori_loop(0, n_sb, band0, 0)
@@ -1312,7 +1319,7 @@ def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
         slot = n_sb % 2
         ep_rows = 16 * rem_groups + 8
         cp = pltpu.make_async_copy(
-            x_ref.at[b, :, pl.ds(64 * n_sb, ep_rows)],
+            x_ref.at[b, :, pl.ds(sb_rows * n_sb, ep_rows)],
             xb.at[slot, :, pl.ds(0, ep_rows)], sem.at[slot])
         cp.start()
         cp.wait()
@@ -1352,9 +1359,9 @@ def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "out_dtype", "precision",
-                                    "scratch_dtype"))
+                                    "scratch_dtype", "groups0"))
 def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
-                    precision="highest", scratch_dtype=None):
+                    precision="highest", scratch_dtype=None, groups0=4):
     """s2d-stage-1 spelling of ``fused_stem2_packed`` — same contract:
 
     [N, H, W, C] -> [N, H/4, W/4, D1] ==
@@ -1367,6 +1374,11 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     Numerics match ``fused_stem2_packed`` at the same ``precision``/
     ``scratch_dtype``: identical products, identical rounding — the s2d
     indexing only regroups which dot computes which conv output.
+
+    ``groups0=8`` packs EIGHT 16-row groups per stage-0 superband
+    (full-M [8*c_mid, 8*K0] dot, 2x the useful MACs/cycle of the
+    4-group tile at 2x the s0/xb VMEM) — requires bf16 scratches to
+    stay inside the 16 MB scoped budget at 416 px.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1383,12 +1395,14 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     sdtype = jnp.dtype(scratch_dtype or jnp.float32)
     assert sdtype == jnp.float32 or precision == "default", \
         "bf16 scratches change numerics unless the dots are DEFAULT"
+    g0 = int(groups0)
+    assert g0 in (4, 8), groups0
     w_pad = _round_up(w_in + 2, 128)
     assert w_pad % 4 == 0
     q = w_pad // 4
     k0_pad = _round_up(9 * cin, 8)
-    n_sb = h // 64
-    rem_groups = (h % 64) // 16                  # 0 or 2 given h % 32 == 0
+    n_sb = h // (16 * g0)
+    rem_groups = (h % (16 * g0)) // 16           # even, given h % 32 == 0
     h4 = h // 4
     n_bands1 = h4 // 8
     prec = _PRECISIONS[precision]
@@ -1401,8 +1415,8 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
           .reshape(n, cin, h + 8, 4 * q).astype(sdtype))
     a0 = jnp.pad(w0.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
         c_mid, 9 * cin), ((0, 0), (0, k0_pad - 9 * cin)))
-    a0bd = jnp.kron(jnp.eye(4, dtype=jnp.float32), a0).astype(sdtype)
-    b0bd = jnp.tile(b0.astype(jnp.float32).reshape(c_mid, 1), (4, 1))
+    a0bd = jnp.kron(jnp.eye(g0, dtype=jnp.float32), a0).astype(sdtype)
+    b0bd = jnp.tile(b0.astype(jnp.float32).reshape(c_mid, 1), (g0, 1))
 
     # W'_ab[o, k]: tap (u, v) of pool position (a, b) lands at phase
     # (rho, gam) = ((a-1+u) % 2, (b-1+v) % 2), patch offset
@@ -1428,7 +1442,7 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
 
     kernel = functools.partial(
         _stem_kernel_planar2_s2d, q=q, cin=cin, c_mid=c_mid,
-        c_out=c_out, k0_pad=k0_pad, h4=h4, n_sb=n_sb,
+        c_out=c_out, k0_pad=k0_pad, h4=h4, g0=g0, n_sb=n_sb,
         rem_groups=rem_groups, n_bands1=n_bands1, precision=prec,
         n_e=n_e, n_o=n_o, sdtype=sdtype)
     out = pl.pallas_call(
@@ -1445,8 +1459,8 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
                                lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, c_out, h4, q), store_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, cin, 72, 4 * q), sdtype),          # xb
-            pltpu.VMEM((4 * k0_pad, 16, 4 * q), sdtype),      # s0
+            pltpu.VMEM((2, cin, 16 * g0 + 8, 4 * q), sdtype),  # xb
+            pltpu.VMEM((g0 * k0_pad, 16, 4 * q), sdtype),      # s0
             pltpu.VMEM((4 * c_mid, h4 + 16, q), jnp.float32),  # y1s
             pltpu.VMEM((16 * c_mid, 9, q), sdtype),            # s1
             pltpu.SemaphoreType.DMA((2,)),

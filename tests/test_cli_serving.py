@@ -62,7 +62,8 @@ def test_serving_overrides_shape():
     assert set(SERVING_PRESETS) == {"f32", "bf16", "bf16_f16stem",
                                     "bf16_f32stem", "bf16_heads",
                                     "pallas_stem", "pallas_stem2",
-                                    "pallas_phase", "pallas_max", "pallas_packed", "s2d",
+                                    "pallas_phase", "pallas_max", "pallas_packed",
+                                        "pallas_s2d", "pallas_s2d8", "s2d",
                                     "bf16_s2d", "int8", "int8_acts"}
     s2d, hi, store, pkw, over = serving_overrides("pallas_stem")
     assert pkw == {"pallas_stem": (0, 2), "pallas_pair": False,

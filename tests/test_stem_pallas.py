@@ -338,13 +338,15 @@ def test_serving_preset_pallas_packed_builds_and_runs():
 
 @pytest.mark.parametrize("shape", [(2, 64, 64, 3, 16, 32),
                                    (1, 96, 48, 3, 8, 16),
+                                   (1, 128, 64, 3, 8, 16),
                                    (1, 32, 64, 5, 8, 16)])
 def test_fused_stem2_s2d_matches_two_stages(shape):
     """s2d-stage-1 double-fused kernel (2x2 space-to-depth phase grids,
     one full-M [4*c_out, 16*c_mid] dot per 8-output-row band) == two XLA
     conv+pool stages (interpret), over the superband, epilogue and
-    epilogue-only stage-0 paths, plus f16 store and the bf16-scratch
-    default-precision variant."""
+    epilogue-only stage-0 paths at BOTH stage-0 group counts (4 and the
+    full-M 8), plus f16 store and the bf16-scratch default-precision
+    variant."""
     from millieye_tpu.ops.stem_pallas import fused_stem2_s2d
 
     n, h, wd, cin, cmid, cout = shape
@@ -357,10 +359,12 @@ def test_fused_stem2_s2d_matches_two_stages(shape):
                      jnp.float32)
     b1 = jnp.asarray(0.1 * rng.standard_normal(cout), jnp.float32)
     ref = _plain(_plain(x, w0, b0), w1, b1)
-    got = fused_stem2_s2d(x, w0, b0, w1, b1, interpret=True)
-    assert got.shape == (n, h // 4, wd // 4, cout)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=1e-4)
+    for g0 in (4, 8):
+        got = fused_stem2_s2d(x, w0, b0, w1, b1, interpret=True,
+                              groups0=g0)
+        assert got.shape == (n, h // 4, wd // 4, cout)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
     g16 = fused_stem2_s2d(x, w0, b0, w1, b1, interpret=True,
                           out_dtype=jnp.float16)
     assert g16.dtype == jnp.float16
