@@ -161,6 +161,27 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
                     pallas_stem_precision="default",
                     pallas_stem_pair_variant="packed"), roi_cfg),
             dict(params, darknet=fp), "bfloat16"),
+        # s2d stage-1 spellings (same dots as packed, s2d-regrouped;
+        # trained-net no-regression gates for the pallas_s2d/_s2d8
+        # presets)
+        "pallas_s2d": (FusionNetwork(
+            Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                    img_size=IMG, hi_prec_stages=(0, 2, 4),
+                    hi_prec_store=jnp.float16,
+                    pallas_stem_stages=(0, 2),
+                    pallas_stem_pair=True,
+                    pallas_stem_precision="default",
+                    pallas_stem_pair_variant="s2d"), roi_cfg),
+            dict(params, darknet=fp), "bfloat16"),
+        "pallas_s2d8": (FusionNetwork(
+            Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                    img_size=IMG, hi_prec_stages=(0, 2, 4),
+                    hi_prec_store=jnp.float16,
+                    pallas_stem_stages=(0, 2),
+                    pallas_stem_pair=True,
+                    pallas_stem_precision="default",
+                    pallas_stem_pair_variant="s2d8"), roi_cfg),
+            dict(params, darknet=fp), "bfloat16"),
         "bf16_f32stem": (FusionNetwork(
             mixed_dn, FusionConfig(conf_thresh=0.2, pre_nms_top_k=512,
                                    max_det=64, max_radar=16,
