@@ -143,6 +143,8 @@ def _ladder():
               "(relay down?) — no bench number this run",
               file=sys.stderr, flush=True)
         return 1
+    with open("/tmp/millieye_tunnel_ok", "w"):  # __graft_entry__'s probe
+        pass                                    # cache — see _tunnel_alive
 
     # Each rung also de-risks the NEWEST Mosaic surface (trace-time env
     # knobs, ops/nms.py): the second-to-last rung is the exact r3d

@@ -14,6 +14,9 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# tests never touch the tunnel backend: skip __graft_entry__'s relay
+# liveness probe (240 s when the relay is down)
+os.environ["MILLIEYE_SKIP_PROBE"] = "1"
 
 import jax
 
