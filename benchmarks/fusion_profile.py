@@ -114,19 +114,32 @@ def main(b=32, dtype="bfloat16"):
     from millieye_tpu.ops.nms import batched_nms
 
     s = 416
+    # MILLIEYE_SERVING=<preset>: decompose a serving-ladder config (the
+    # campaign profiles the measured-fastest one) instead of the plain
+    # build; the preset then owns compute/heads dtype and the kernels
+    serving = os.environ.get("MILLIEYE_SERVING") or None
     model, params, state = g._build_fusion(s, max_det=200, max_radar=32,
-                                           pre_top_k=512)
-    cd = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+                                           pre_top_k=512, serving=serving)
+    if serving:
+        dtype = serving
+        cd = (jnp.bfloat16
+              if str(model.cfg.compute_dtype) == "bfloat16"
+              else jnp.float32)
+    else:
+        cd = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     cpu = g._init_device()
     import contextlib
     with (jax.default_device(cpu) if cpu else contextlib.nullcontext()):
         fp, fs = model.darknet.fold_batchnorm(
             params["darknet"], state["darknet"],
-            dtype=cd if dtype == "bfloat16" else None)
+            dtype=cd if cd == jnp.bfloat16 else None)
     params = dict(params, darknet=fp)
     state = dict(state, darknet=fs)
-    cfg = FusionConfig(compute_dtype=dtype)
-    model = FusionNetwork(model.darknet, cfg)
+    if not serving:
+        cfg = FusionConfig(compute_dtype=dtype)
+        model = FusionNetwork(model.darknet, cfg)
+    else:
+        cfg = model.cfg
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(size=(b, s, s, 3)), jnp.float32)
@@ -168,7 +181,11 @@ def main(b=32, dtype="bfloat16"):
           f"{results[f'fusion_profile_{dtype}_b{b}_backbone_us']} us, "
           f"nms {nms:.1f} us, roi+heads {tail:.1f} us", flush=True)
 
-    if "tail" in sys.argv:
+    if "tail" in sys.argv and serving:
+        print("tail mode spells the RoI stage as the einsum kernels — "
+              "skipping under a serving preset (roi_impl may differ)",
+              flush=True)
+    elif "tail" in sys.argv:
         _tail_profile(model, params, state, x, maps, rb, rmask, cd,
                       results, b, dtype)
         known = sum(results[f"fusion_tail_{dtype}_b{b}_{n}_us"]

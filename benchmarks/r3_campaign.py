@@ -129,6 +129,7 @@ def main():
     # measured-fastest preset first for bench.py's ladder (the driver's
     # round-end bench reads runs/bench_ladder.json), proven fallbacks
     # always appended
+    fps = {}
     try:
         with open(os.path.join(ROOT, "BENCH_DETAILS.json")) as f:
             det = json.load(f)
@@ -153,6 +154,14 @@ def main():
     rc, tail, dt = run("nms_profile", ["benchmarks/nms_profile.py"], 2400,
                        env=nms_env)
     record("nms_profile", rc, dt)
+
+    if presets:
+        # backbone/NMS/RoI+heads attribution of the measured-fastest
+        # preset (fusion_profile reuses the details run's warm cache)
+        best = max(presets, key=lambda p: fps.get(p, 0))
+        rc, tail, dt = run("fusion_profile", ["benchmarks/fusion_profile.py"],
+                           3600, env=dict(nms_env, MILLIEYE_SERVING=best))
+        record("fusion_profile", rc, dt, preset=best)
 
     if presets:
         rc, tail, dt = run("quantized_eval", ["benchmarks/quantized_eval.py"],
