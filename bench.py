@@ -90,6 +90,17 @@ def _warm(presets=("pallas_packed", "pallas_max", "pallas_stem2", "f32")):
 
 
 def main(presets=None):
+    import __graft_entry__  # noqa: F401  bounded relay guard BEFORE any
+    import jax              # backend touch (a dead relay hangs jax)
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("MILLIEYE_ALLOW_CPU") != "1"):
+        # __graft_entry__'s import guard falls back to CPU when the
+        # relay dies; a CPU fps must never be reported as the chip
+        # number (set MILLIEYE_ALLOW_CPU=1 for deliberate dev runs)
+        import sys
+        print("# backend is cpu — refusing to report a chip benchmark",
+              file=sys.stderr, flush=True)
+        raise SystemExit(1)
     step, args, serving = (_warm((presets,)) if isinstance(presets, str)
                            else _warm() if presets is None
                            else _warm(presets))
@@ -128,23 +139,17 @@ def _ladder():
 
     # Fast liveness probe: when the axon relay is down, backend init
     # HANGS (observed round 3) — without this, every rung burns its
-    # full timeout and the bench takes 2h to report a dead tunnel.
-    probe = ("import jax, numpy as np, jax.numpy as jnp;"
-             "x = jnp.ones((128,128));"
-             "print('PROBE_OK', float(np.asarray(x @ x)[0,0]))")
-    try:
-        r = subprocess.run([sys.executable, "-c", probe], timeout=600,
-                           capture_output=True, text=True)
-        alive = r.returncode == 0 and "PROBE_OK" in r.stdout
-    except subprocess.TimeoutExpired:
-        alive = False
-    if not alive:
-        print("# device probe failed: backend init hung or errored "
-              "(relay down?) — no bench number this run",
+    # full timeout and the bench takes 2h to report a dead tunnel. The
+    # probe requires a NON-CPU backend (millieye_tpu/tunnel.py), so a
+    # CPU-mode invocation cannot poison the stamp cache or fake a
+    # chip number.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from millieye_tpu.tunnel import tunnel_alive
+    if not tunnel_alive(timeout=600):
+        print("# device probe failed: backend init hung, errored, or "
+              "resolved to CPU (relay down?) — no bench number this run",
               file=sys.stderr, flush=True)
         return 1
-    with open("/tmp/millieye_tunnel_ok", "w"):  # __graft_entry__'s probe
-        pass                                    # cache — see _tunnel_alive
 
     # Each rung also de-risks the NEWEST Mosaic surface (trace-time env
     # knobs, ops/nms.py): the second-to-last rung is the exact r3d

@@ -189,13 +189,16 @@ def main():
                  "float16", (), "bfloat16", (0, 2), True, "default",
                  "s2d8", "pallas"))
     global _DROPPED_STALE
-    only = os.environ.get("MILLIEYE_ONLY")
+    # comma-separated EXACT variant names: substring matching would pull
+    # pallas_s2d8 into a MILLIEYE_ONLY=pallas_s2d rerun — an extra ~10 min
+    # cold compile per run, or a gate-REJECTED kernel compiled on-chip
+    only = [t for t in os.environ.get("MILLIEYE_ONLY", "").split(",") if t]
     if only:
-        # partial rerun (e.g. MILLIEYE_ONLY=pallas after a late-variant
-        # compile failure): keep every already-measured fusion_fwd_* row
+        # partial rerun (e.g. MILLIEYE_ONLY=pallas_max after a late-
+        # variant compile failure): keep every measured fusion_fwd_* row
         _DROPPED_STALE = True
     for dtype, vname, s2d, int8, acts, *rest in VARIANTS:
-        if only and only not in vname:
+        if only and vname not in only:
             continue
         if vname.startswith("pallas_stem") and not os.environ.get(
                 "MILLIEYE_PALLAS_STEM"):

@@ -222,13 +222,15 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
             json.dump(merged, f, indent=1)
         return merged
 
+    # comma-separated EXACT variant names (substring matching would pull
+    # pallas_s2d8 into a pallas_s2d-only rerun — see details.py)
     only = [t for t in os.environ.get("MILLIEYE_ONLY", "").split(",") if t]
     results = {}
     for light in ("L", "H"):
         cache = _cache(SyntheticScenes(n_test, seed=777,
                                        illumination=(light,)))
         for name, (model, p, _dt) in variants.items():
-            if only and not any(t in name for t in only):
+            if only and name not in only:
                 continue
             batches = (fusion_device_batch(b, IMG)
                        for b in cache.loader(16))

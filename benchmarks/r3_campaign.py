@@ -38,9 +38,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "runs", "r3_campaign")
 SUMMARY = os.path.join(OUT, "summary.json")
 
-PROBE = ("import jax, numpy as np, jax.numpy as jnp;"
-         "x = jnp.ones((128,128));"
-         "print('PROBE_OK', float(np.asarray(x @ x)[0,0]))")
+sys.path.insert(0, ROOT)
+from millieye_tpu.tunnel import PROBE  # noqa: E402  (shared probe text)
 
 
 def run(name, argv, timeout, env=None, idx=[0]):

@@ -81,6 +81,11 @@ class FusionConfig:
     nms_use_pallas: bool = None          # None = auto (pallas on TPU);
                                          # set False when running on CPU
                                          # devices of a TPU-default process
+    nms_use_blocked: bool = None         # None = auto (blocked kernel at
+                                         # K%128==0, MILLIEYE_NMS_BLOCKED
+                                         # env opt-out); False pins the
+                                         # chip-proven whole-matrix kernel
+                                         # without touching process env
     roi_impl: str = "einsum"             # RoI crop engine: "einsum" (the
                                          # parity-exact XLA formulation)
                                          # or "pallas" (VMEM-resident
@@ -160,7 +165,8 @@ class FusionNetwork:
         det, det_valid = batched_nms(
             d_out["detections"], cfg.conf_thresh, cfg.nms_thresh,
             max_det=k_img, pre_top_k=cfg.pre_nms_top_k,
-            use_pallas=cfg.nms_use_pallas)
+            use_pallas=cfg.nms_use_pallas,
+            use_blocked=cfg.nms_use_blocked)
         det = jax.lax.stop_gradient(det)
         # keep only the fused class (my_models.py:463)
         det_valid = det_valid & (det[:, :, 6].astype(jnp.int32) == cfg.class_idx)
@@ -476,7 +482,8 @@ class RefineNetwork:
         det, det_valid = batched_nms(
             d_out["detections"], cfg.conf_thresh, cfg.nms_thresh,
             max_det=k_img, pre_top_k=cfg.pre_nms_top_k,
-            use_pallas=cfg.nms_use_pallas)
+            use_pallas=cfg.nms_use_pallas,
+            use_blocked=cfg.nms_use_blocked)
         det = jax.lax.stop_gradient(det)
 
         img_xyxy = det[:, :, 0:4]

@@ -120,7 +120,7 @@ def nms_xyxy(boxes, scores, labels, valid, iou_thresh, max_out, plus_one=False):
 @functools.partial(
     jax.jit,
     static_argnames=("conf_thresh", "iou_thresh", "max_det", "pre_top_k",
-                     "use_pallas"),
+                     "use_pallas", "use_blocked"),
 )
 def batched_nms(
     pred,
@@ -129,6 +129,7 @@ def batched_nms(
     max_det=200,
     pre_top_k=512,
     use_pallas=None,
+    use_blocked=None,
 ):
     """YOLO-decode postprocessing for a batch.
 
@@ -177,13 +178,18 @@ def batched_nms(
     if use_pallas:
         from millieye_tpu.ops.nms_pallas import (
             nms_keep_mask_pallas, nms_keep_mask_pallas_blocked)
-        if (shifted.shape[1] % 128 == 0
-                and os.environ.get("MILLIEYE_NMS_BLOCKED", "1") != "0"):
+        if use_blocked is None:
+            # MILLIEYE_NMS_BLOCKED=0 falls back to the chip-proven
+            # whole-matrix kernel (the blocked kernel is newer Mosaic
+            # surface; trace-time read, like above); callers that must
+            # not depend on process env pass use_blocked explicitly
+            # (e.g. FusionConfig.nms_use_blocked)
+            use_blocked = os.environ.get("MILLIEYE_NMS_BLOCKED",
+                                         "1") != "0"
+        if shifted.shape[1] % 128 == 0 and use_blocked:
             # block-sequential kernel: same keep set (bit-identical,
             # tests), fixpoint iterations on [128,128] slices instead of
-            # the full [K,K] matrix. MILLIEYE_NMS_BLOCKED=0 falls back to
-            # the chip-proven whole-matrix kernel (the blocked kernel is
-            # newer Mosaic surface; trace-time read, like above).
+            # the full [K,K] matrix
             keep = nms_keep_mask_pallas_blocked(shifted, v, iou_thresh)
         else:
             keep = nms_keep_mask_pallas(shifted, v, iou_thresh)

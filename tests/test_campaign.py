@@ -59,10 +59,14 @@ def _fake_run(tmp_path, calls, gates_ok):
     return fake
 
 
-def test_campaign_happy_path_orders_ladder_by_measured_fps(tmp_path):
+def test_campaign_happy_path_orders_ladder_by_measured_fps(tmp_path,
+                                                            monkeypatch):
     camp = _load(tmp_path)
     calls = []
-    camp.subprocess.run = _fake_run(tmp_path, calls, gates_ok=True)
+    # camp does a plain `import subprocess`, so camp.subprocess IS the
+    # shared module — patch through monkeypatch so it is restored
+    monkeypatch.setattr(camp.subprocess, "run",
+                        _fake_run(tmp_path, calls, gates_ok=True))
     assert camp.main() == 0
     s = json.loads(open(camp.SUMMARY).read())
     # best TWO stem spellings by standalone us (s2d8 1100 < s2d 1300)
@@ -78,10 +82,12 @@ def test_campaign_happy_path_orders_ladder_by_measured_fps(tmp_path):
     assert s["steps"]["bench_2"]["json_line"].startswith("{")
 
 
-def test_campaign_gate_failures_degrade_to_proven_configs(tmp_path):
+def test_campaign_gate_failures_degrade_to_proven_configs(tmp_path,
+                                                           monkeypatch):
     camp = _load(tmp_path)
     calls = []
-    camp.subprocess.run = _fake_run(tmp_path, calls, gates_ok=False)
+    monkeypatch.setattr(camp.subprocess, "run",
+                        _fake_run(tmp_path, calls, gates_ok=False))
     assert camp.main() == 0
     s = json.loads(open(camp.SUMMARY).read())
     assert s["steps"]["stem_gate"]["candidates"] == []
