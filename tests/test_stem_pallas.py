@@ -411,3 +411,48 @@ def test_serving_preset_pallas_s2d_builds_and_runs():
     out = model.apply(params, state, images, maps, jnp.asarray(rb),
                       jnp.ones((1, 4), bool), mode=0)
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_pallas_preset_family_cross_parity():
+    """pallas_packed / pallas_s2d / pallas_s2d8 share the same dots
+    (DEFAULT precision, bf16 scratches, pallas RoI) — at identical
+    weights the three presets must produce the same detections to the
+    bf16 rounding class, and the identical keep set."""
+    import numpy as np
+    from millieye_tpu.cli._common import build_fusion, serving_overrides
+
+    rng = np.random.default_rng(3)
+    S = 128
+    images = jnp.asarray(rng.uniform(size=(1, S, S, 3)), jnp.float32)
+    maps = jnp.asarray(rng.uniform(size=(1, S // 16, S // 16, 3)),
+                       jnp.float32)
+    rb = np.zeros((1, 4, 4), np.float32)
+    rb[..., :2] = rng.uniform(0.1, 0.5, size=(1, 4, 2))
+    rb[..., 2:] = rb[..., :2] + 0.3
+    rmask = jnp.ones((1, 4), bool)
+
+    outs = {}
+    for preset in ("pallas_packed", "pallas_s2d", "pallas_s2d8"):
+        s2d, hi, store, pallas_kw, over = serving_overrides(preset)
+
+        class A:
+            model_def = None
+            img_size = S
+
+        model, params, state = build_fusion(
+            A(), s2d_stages=s2d, hi_prec_stages=hi, hi_prec_store=store,
+            **pallas_kw, conf_thresh=0.05, max_det=16, max_radar=4,
+            pre_nms_top_k=64, nms_use_pallas=False, **over)
+        fp, fs = model.darknet.fold_batchnorm(params["darknet"],
+                                              state["darknet"])
+        out = model.apply(dict(params, darknet=fp),
+                          dict(state, darknet=fs), images, maps,
+                          jnp.asarray(rb), rmask, mode=0)
+        outs[preset] = (np.asarray(out["boxes"]),
+                        np.asarray(out["valid"]))
+
+    ref_b, ref_v = outs["pallas_packed"]
+    for preset in ("pallas_s2d", "pallas_s2d8"):
+        b, v = outs[preset]
+        np.testing.assert_array_equal(v, ref_v)
+        np.testing.assert_allclose(b, ref_b, atol=2e-3)
