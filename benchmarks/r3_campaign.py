@@ -169,6 +169,12 @@ def main():
                                     MILLIEYE_ONLY=",".join(presets)))
         record("quantized_eval", rc, dt, presets=presets)
 
+    # warm the driver's entry() compile-check graph (weights as jit
+    # ARGUMENTS — a different executable than bench_entry's closure-
+    # constant graph, so the bench runs below do not warm it)
+    rc, tail, dt = run("warm_entry", ["__graft_entry__.py"], 3600)
+    record("warm_entry", rc, dt)
+
     # bench LAST, twice: run 1 pays any residual compile, run 2 is the
     # warm number AND leaves the persistent cache hot for the driver's
     # round-end bench (do not edit traced sources after this point —
