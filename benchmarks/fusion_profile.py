@@ -108,7 +108,20 @@ def _tail_profile(model, params, state, x, maps, rb, rmask, cd, results,
     return results
 
 
+
+def _require_chip():
+    """Refuse to record benchmark rows from a CPU backend — the relay
+    guard in __graft_entry__ can flip a subprocess to CPU mid-campaign
+    (MILLIEYE_ALLOW_CPU=1 for deliberate dev runs)."""
+    import jax
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("MILLIEYE_ALLOW_CPU") != "1"):
+        raise SystemExit("backend is cpu — refusing to record chip "
+                         "benchmark results")
+
+
 def main(b=32, dtype="bfloat16"):
+    _require_chip()
     from millieye_tpu.models import Darknet, tiny_yolov3_defs
     from millieye_tpu.models.fusion import FusionConfig, FusionNetwork
     from millieye_tpu.ops.nms import batched_nms

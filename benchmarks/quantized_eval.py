@@ -49,8 +49,21 @@ def _cache(ds):
                                                max_radar=16, max_points=128))
 
 
+
+def _require_chip():
+    """Refuse to record benchmark rows from a CPU backend — the relay
+    guard in __graft_entry__ can flip a subprocess to CPU mid-campaign
+    (MILLIEYE_ALLOW_CPU=1 for deliberate dev runs)."""
+    import jax
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("MILLIEYE_ALLOW_CPU") != "1"):
+        raise SystemExit("backend is cpu — refusing to record chip "
+                         "benchmark results")
+
+
 def main(ckpt="runs/synthetic/stage3_final.npz",
          out_path="SYNTH_RESULTS.json", n_test=400):
+    _require_chip()
     cfg = FusionConfig(conf_thresh=0.2, pre_nms_top_k=512, max_det=64,
                        max_radar=16)  # reference eval default (see
                                       # synthetic_e2e.py)
