@@ -110,6 +110,19 @@ class FusionConfig:
                                          # (ops.quantize.calibrate_act_scales)
 
 
+def _eff_sampling_max(cfg, img_size):
+    """torchvision's adaptive grid is ceil(roi_size/7) UNBOUNDED; the
+    static-shape port masks a fixed sampling_max x sampling_max grid. An
+    image-spanning RoI needs ceil(img/16/7) sample rows, so the
+    configured bound is raised to cover it (416 px -> 4 = the default,
+    so nothing changes there; 608 px multiscale eval -> 6). RoIs LARGER
+    than the image (unclipped decode garbage) still clamp — the only
+    remaining divergence from the reference, and one no trained
+    operating point produces."""
+    import math
+    return max(cfg.sampling_max, math.ceil(img_size / 16 / 7))
+
+
 def _cast_floats(tree, dtype):
     """Cast every floating leaf of a pytree (params/state) to ``dtype``."""
     return jax.tree.map(
@@ -250,6 +263,7 @@ class FusionNetwork:
         # Serving alternative (cfg.roi_impl="pallas"): the VMEM-resident
         # kernel — the separable intermediate never touches HBM
         # (measured 2.75 -> ~sub-ms ms/b32, benchmarks/roi_variants.py)
+        smax = _eff_sampling_max(cfg, images.shape[1])
         if use_pallas_roi:
             from millieye_tpu.ops.roi_pallas import (
                 ps_roi_align_pallas_padded, ps_roi_align_pallas_padded_g1,
@@ -263,23 +277,23 @@ class FusionNetwork:
                      else ps_roi_align_pallas_padded)
             img_crop = ps_fn(
                 roi_score_map, all_xyxy, (7, 7),
-                1.0 / 16, sampling_max=cfg.sampling_max,
+                1.0 / 16, sampling_max=smax,
                 c_out=roi_c_out, precision=cfg.roi_precision,
                 interpret=interp,
             ).astype(hd).reshape(b_sz * n_all, 7, 7, -1)
             radar_crop = roi_align_pallas(
                 radar_score_map.astype(jnp.float32), all_xyxy, (7, 7),
-                1.0 / 16, sampling_max=cfg.sampling_max,
+                1.0 / 16, sampling_max=smax,
                 precision=cfg.roi_precision, interpret=interp,
             ).astype(hd).reshape(b_sz * n_all, 7, 7, -1)
         else:
             img_crop = ps_roi_align_batched(
                 roi_score_map, all_xyxy, (7, 7), 1.0 / 16,
-                sampling_max=cfg.sampling_max,
+                sampling_max=smax,
                 compute_dtype=hd).reshape(b_sz * n_all, 7, 7, -1)
             radar_crop = roi_align_batched(
                 radar_score_map, all_xyxy, (7, 7), 1.0 / 16,
-                sampling_max=cfg.sampling_max,
+                sampling_max=smax,
                 compute_dtype=hd).reshape(b_sz * n_all, 7, 7, -1)
 
         # 5. refinement head (img-feature scoring + radar-confidence fusion)
@@ -502,18 +516,19 @@ class RefineNetwork:
         roi_score_map, fcn_s = heads.conv_bn_stack_apply(
             p_fcn, s_fcn, d_out["feature_map"].astype(hd), train)
 
+        smax = _eff_sampling_max(cfg, images.shape[1])
         if cfg.roi_impl == "pallas" and not train:
             from millieye_tpu.ops.roi_pallas import ps_roi_align_pallas
             img_crop = ps_roi_align_pallas(
                 roi_score_map.astype(jnp.float32), img_xyxy, (7, 7),
-                1.0 / 16, sampling_max=cfg.sampling_max,
+                1.0 / 16, sampling_max=smax,
                 precision=cfg.roi_precision,
                 interpret=jax.default_backend() != "tpu",
             ).astype(hd).reshape(b_sz * k_img, 7, 7, -1)
         else:
             img_crop = ps_roi_align_batched(
                 roi_score_map, img_xyxy, (7, 7), 1.0 / 16,
-                sampling_max=cfg.sampling_max,
+                sampling_max=smax,
                 compute_dtype=hd).reshape(b_sz * k_img, 7, 7, -1)
 
         drop_rng = None

@@ -35,9 +35,17 @@ from jax import lax
 
 from millieye_tpu.ops.boxes import iou_matrix, xywh_to_xyxy
 
-# Larger than any coordinate that can appear (multiscale training tops out at
-# 608 px); shifts each class into its own disjoint coordinate region.
-_CLASS_OFFSET = 4096.0
+def _class_offset(boxes, valid):
+    """torchvision batched_nms's per-call class offset: ``boxes.max()+1``
+    over the (valid) candidate boxes, so each class occupies a disjoint
+    coordinate region REGARDLESS of box magnitude. A fixed constant
+    (4096, "larger than any coordinate") breaks for unclipped decode
+    extents — exp(tw) on a large anchor can exceed it at low conf
+    thresholds, letting adjacent classes overlap and cross-suppress,
+    which the reference never does (torchvision ops/boxes.py
+    _batched_nms_coordinate_trick)."""
+    mx = jnp.max(jnp.where(valid[:, None], boxes, -jnp.inf))
+    return jnp.where(jnp.isfinite(mx), mx, 0.0) + 1.0
 
 
 def nms_keep_mask_ref(boxes_xyxy, valid, iou_thresh, plus_one=False):
@@ -109,7 +117,8 @@ def nms_xyxy(boxes, scores, labels, valid, iou_thresh, max_out, plus_one=False):
     order = jnp.argsort(-s)
     boxes, s, labels = boxes[order], s[order], labels[order]
     valid = jnp.isfinite(s)
-    shifted = boxes + (labels.astype(boxes.dtype) * _CLASS_OFFSET)[:, None]
+    shifted = boxes + (labels.astype(boxes.dtype)
+                       * _class_offset(boxes, valid))[:, None]
     keep = nms_keep_mask(shifted, valid, iou_thresh, plus_one)
     rows = jnp.concatenate(
         [boxes, s[:, None], labels.astype(boxes.dtype)[:, None]], axis=-1
@@ -168,7 +177,7 @@ def batched_nms(
         v = jnp.isfinite(top_s)
         class_score = c.max(axis=-1)
         class_pred = jnp.argmax(c, axis=-1).astype(p.dtype)
-        shifted = b + (class_pred * _CLASS_OFFSET)[:, None]
+        shifted = b + (class_pred * _class_offset(b, v))[:, None]
         rows = jnp.concatenate(
             [b, o[:, None], class_score[:, None], class_pred[:, None], c], axis=-1
         )
@@ -229,8 +238,8 @@ def pre_top_k_sufficient(pred, conf_thresh, iou_thresh=0.5, max_det=200,
         v = jnp.isfinite(top_s)
         cls = p[:, 5:][idx]
         class_pred = jnp.argmax(cls, axis=-1).astype(p.dtype)
-        shifted = xywh_to_xyxy(p[:, :4][idx]) + (
-            class_pred * _CLASS_OFFSET)[:, None]
+        bx = xywh_to_xyxy(p[:, :4][idx])
+        shifted = bx + (class_pred * _class_offset(bx, v))[:, None]
         keep = nms_keep_mask(shifted, v, iou_thresh, plus_one=False)
         return (n_pass <= k) | (jnp.sum(keep) >= max_det)
 

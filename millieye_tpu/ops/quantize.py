@@ -127,16 +127,20 @@ def calibrate_act_scales(darknet, folded_params, folded_state, batches,
     serving config uses s2d stages)."""
     import numpy as np
 
+    # weights as jit ARGUMENTS, not closure constants: a captured device
+    # array must embed as an HLO constant, so every checkpoint/preset
+    # calibrated would pay a fresh remote compile through the tunnel
+    # (CLAUDE.md round-2 finding d)
     @jax.jit
-    def stats(images):
-        out = darknet.apply(folded_params, folded_state, images,
+    def stats(params, state, images):
+        out = darknet.apply(params, state, images,
                             compute_dtype=compute_dtype,
                             collect_act_stats=True)
         return out["act_absmax"]
 
     mx = None
     for images in batches:
-        s = np.asarray(stats(images))
+        s = np.asarray(stats(folded_params, folded_state, images))
         mx = s if mx is None else np.maximum(mx, s)
     return mx
 

@@ -12,8 +12,9 @@ operands make it *slower* (packed-sublane relayouts), which is why the
 This kernel keeps the intermediate in VMEM. Per image (grid = batch):
 
 * stage 1: for each bin row p, one MXU dot ``by_p [N, H] @ fv_p [H, K]``
-  produces ``t_p [N, K]`` (K = the feature columns, minor-ordered
-  (u, q, w) so w is contiguous) — t never touches HBM;
+  produces ``t_p [N, K]`` (K = the feature columns, ordered (w, u, q)
+  major-to-minor — q is contiguous, exactly what ``_sum_matrix``'s
+  block-diagonal reduction expects) — t never touches HBM;
 * stage 2: the per-roi w-contraction ``sum_w bx[n, q, w] * t_p[n, .., w]``
   is NOT a matmul (bx varies with the roi row n), so it runs as one VPU
   multiply with a pre-broadcast ``bxe [N, K]`` followed by ONE matmul
@@ -23,8 +24,9 @@ This kernel keeps the intermediate in VMEM. Per image (grid = batch):
 
 The radar (non-position-sensitive) crop reuses the same kernel: its
 features are bin-independent, so the XLA side replicates them across q
-INSIDE stage 1's rhs (``F_rep [H, (q, c, w)]`` — the replication rides
-the dot for free) and the same bxe/S machinery applies.
+INSIDE stage 1's rhs (``F_rep [H, (w, c, q)]`` major-to-minor — the
+replication rides the dot for free) and the same bxe/S machinery
+applies.
 
 Precision (``precision=``):
 
@@ -223,8 +225,8 @@ def roi_align_pallas(features, boxes, output_size=(7, 7),
     features [B, H, W, C], boxes [B, N, 4] -> [B, N, ph, pw, C] f32.
 
     The bin-independent features are replicated across the q bins on the
-    XLA side (``F_rep [H, (q, c, w)]``) so the replication rides stage
-    1's dot instead of costing VMEM copies."""
+    XLA side (``F_rep [H, (w, c, q)]`` major-to-minor) so the replication
+    rides stage 1's dot instead of costing VMEM copies."""
     b, h, w, c = features.shape
     ph, pw = output_size
     n = boxes.shape[1]

@@ -74,6 +74,7 @@ def _stem_kernel_im2col(x_ref, w_ref, b_ref, o_ref, *, th, w_out, cin,
         y = jax.lax.dot_general(
             z.reshape(2 * th * w_in, 9 * cin), wm,
             (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)       # [2th*W, D]
         y = y.reshape(2 * th, w_in, cout) + bias
         y = jnp.where(y > 0, y, 0.1 * y)
@@ -116,6 +117,7 @@ def _stem_kernel_vgroup(x_ref, w_ref, b_ref, o_ref, *, th, w_out, cin,
                 zv.reshape(2 * th * w_in, 3 * cin),
                 w_ref[3 * cin * v:3 * cin * (v + 1)],
                 (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)   # [2th*W, D]
         y = acc.reshape(2 * th, w_in, cout) + bias
         y = jnp.where(y > 0, y, 0.1 * y)
@@ -160,10 +162,11 @@ def _stem_kernel_planar(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref, *,
                                     jnp.float32)
 
     def band_fn(i, _):
-        # dynamic sublane offsets must be provably 8-aligned: load an
-        # aligned (band+8)-row block once per channel and take the
-        # +u tap shifts as static register slices
-        r0 = pl.multiple_of(band * i, 8)
+        # dynamic sublane offsets: CLAIM 8-alignment only when band
+        # actually guarantees it — a false multiple_of hint is silent
+        # miscompilation under Mosaic, not an error
+        r0 = (pl.multiple_of(band * i, 8) if band % 8 == 0
+              else band * i)
         for c in range(cin):
             big = x_ref[c, pl.dslice(r0, band + 8)]        # [band+8, W]
             # roll the whole (band+8)-row block once per v (lane roll and
@@ -215,7 +218,8 @@ def _stem_kernel_planar_rowdot(x_ref, a_ref, b_ref, p_ref, o_ref, s_ref,
         s_ref[9 * cin:] = jnp.zeros((k_pad - 9 * cin, w_pad), jnp.float32)
 
     def band_fn(i, _):
-        r0 = pl.multiple_of(band * i, 8)
+        r0 = (pl.multiple_of(band * i, 8) if band % 8 == 0
+              else band * i)
         bigs = [x_ref[c, pl.dslice(r0, band + 8)] for c in range(cin)]
 
         for o in range(half):             # static python loop
@@ -520,7 +524,10 @@ def fused_stem_planar(x, w, b, band=None, interpret=False, out_dtype=None,
     cout = w.shape[3]
     assert w.shape[:3] == (3, 3, cin), w.shape
     if band is None:
-        band = next(k for k in range(16, 0, -2) if h % k == 0)
+        # prefer 8-aligned bands (Mosaic-provable dynamic offsets);
+        # non-multiple-of-8 divisors still work via the unaligned path
+        band = next((k for k in (16, 8) if h % k == 0),
+                    next(k for k in range(14, 0, -2) if h % k == 0))
     assert h % 2 == 0 and w_in % 2 == 0 and band % 2 == 0 \
         and h % band == 0
     out_dtype = jnp.dtype(out_dtype or x.dtype)

@@ -68,7 +68,9 @@ def np_batched_nms_rows(det):
     cls = d[:, 5:]
     cp = cls.argmax(-1).astype(np.float64)
     cs = cls.max(-1)
-    keep = np_greedy_nms(xyxy + cp[:, None] * 4096.0, NMS_T)
+    # torchvision's class offset: boxes.max() + 1 over the candidates
+    off = (xyxy.max() + 1.0) if len(xyxy) else 1.0
+    keep = np_greedy_nms(xyxy + cp[:, None] * off, NMS_T)
     rows = np.concatenate(
         [xyxy, d[:, 4:5], cs[:, None], cp[:, None], cls], -1)[keep]
     return rows[:MAX_DET]

@@ -308,3 +308,30 @@ def test_pallas_ps_roi_padded_channels(rng):
         jnp.asarray(fpad), boxes, c_out=c_out, precision="highest",
         interpret=True))
     np.testing.assert_allclose(got1, want, rtol=1e-4, atol=1e-5)
+
+
+def test_large_roi_needs_raised_sampling_max():
+    """An image-spanning RoI on a 38-cell map (608 px at 1/16) needs
+    gh = ceil(38/7) = 6 sample rows; sampling_max=4 CLAMPS the grid and
+    silently diverges from the adaptive torchvision semantics, while the
+    derived bound (models.fusion._eff_sampling_max) matches the
+    unclamped numpy oracle exactly."""
+    from millieye_tpu.models.fusion import FusionConfig, _eff_sampling_max
+
+    rng = np.random.default_rng(11)
+    fm = rng.standard_normal((1, 38, 38, 8)).astype(np.float32)
+    rois = np.array([[0, 3.0, 5.0, 600.0, 595.0]], np.float32)  # ~full img
+    ref = np_roi_align(fm, rois, (7, 7), 1.0 / 16)
+
+    smax = _eff_sampling_max(FusionConfig(), 608)
+    assert smax == 6
+    got = np.asarray(roi_align(jnp.asarray(fm), jnp.asarray(rois), (7, 7),
+                               1.0 / 16, sampling_max=smax))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    clamped = np.asarray(roi_align(jnp.asarray(fm), jnp.asarray(rois),
+                                   (7, 7), 1.0 / 16, sampling_max=4))
+    assert np.abs(clamped - ref).max() > 1e-4   # the bug being guarded
+
+    # 416 px keeps the default grid — no perf change at the flagship size
+    assert _eff_sampling_max(FusionConfig(), 416) == 4
