@@ -218,6 +218,12 @@ class Darknet:
         # "s2d" = packed stage 0 + 2x2 space-to-depth stage 1 (one
         # full-M [4*c_out, 16*c_mid] dot per 8-output-row band,
         # fused_stem2_s2d — same products, s2d-regrouped)
+        if pallas_stem_pair_variant not in ("select", "phase", "packed",
+                                            "s2d", "s2d8"):
+            raise ValueError(
+                f"unknown pallas_stem_pair_variant "
+                f"{pallas_stem_pair_variant!r} (a typo would otherwise "
+                "silently run the fallback 'select' kernel)")
         self.pallas_stem_pair_variant = pallas_stem_pair_variant
         # conv-dot MXU passes inside the kernels ("highest"/"high"/
         # "default") — on-chip the dots dominate, and one-pass bf16
@@ -319,6 +325,9 @@ class Darknet:
                 referenced.add(info["frm"])
         for i in (self.s2d_stages + self.im2col_stages
                   + self.pallas_stem_stages):
+            if not 0 <= i < len(self._plan) - 1:
+                raise ValueError(f"stem stage index {i} out of range "
+                                 f"(plan has {len(self._plan)} blocks)")
             info, nxt = self._plan[i], self._plan[i + 1]
             ok = (info["type"] == "convolutional" and info["size"] == 3
                   and info["stride"] == 1 and nxt["type"] == "maxpool"
@@ -456,15 +465,13 @@ class Darknet:
             if i in pair_skip:
                 x = outputs[-1]   # consumed by the double-fused pair
             elif i == pair_lo:
-                import functools as _ft
-
                 from millieye_tpu.ops.stem_pallas import (
                     fused_stem2_packed, fused_stem2_phase,
                     fused_stem2_planar, fused_stem2_s2d)
                 pair_fn = {"phase": fused_stem2_phase,
                            "packed": fused_stem2_packed,
                            "s2d": fused_stem2_s2d,
-                           "s2d8": _ft.partial(fused_stem2_s2d,
+                           "s2d8": functools.partial(fused_stem2_s2d,
                                                groups0=8)}.get(
                     self.pallas_stem_pair_variant, fused_stem2_planar)
                 pair_kw = {}
@@ -595,9 +602,15 @@ class Darknet:
                 preds.append(pred)
                 x = det  # occupies the slot, like the reference layer_outputs
             if (t == "convolutional" and self.hi_prec_store is not None
-                    and i in self.hi_prec_stages and not train):
+                    and i in self.hi_prec_stages and not train
+                    and i != pair_lo):
                 # f32 arithmetic above, compact storage between stages:
-                # the cast fuses into the epilogue, HBM sees hi_prec_store
+                # the cast fuses into the epilogue, HBM sees hi_prec_store.
+                # The double-fused pair is EXCLUDED: its output is
+                # semantically stage i+2's, whose store dtype the pair
+                # branch already resolved (keying on i here re-cast the
+                # pair output whenever i was hi-prec but i+2 was not —
+                # a dtype divergence from the XLA reference path)
                 x = x.astype(self.hi_prec_store)
             outputs.append(x)
             if i == self.feature_tap:

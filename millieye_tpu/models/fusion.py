@@ -425,9 +425,15 @@ class FusionNetwork:
         loss_xy = heads.smooth_l1_sum(rp[:, :2], enc[:, :2], w_pos)
         loss_wh = heads.smooth_l1_sum(rp[:, 2:], enc[:, 2:], w_pos)
 
-        # category BCE on positives (:627-633; label indexing fixed)
-        cls_onehot = jax.nn.one_hot(class_pred.reshape(-1).astype(jnp.int32),
-                                    cfg.class_num)
+        # category BCE on positives (:627-633; label indexing fixed).
+        # class_pred carries the DETECTOR's class ids; the refinement
+        # vector's channels start at cfg.class_idx (kept proposals are
+        # filtered to it when class_num < the detector's classes), so
+        # shift before one-hot — with the shipped class_idx=0 this is
+        # the identity
+        cls_onehot = jax.nn.one_hot(
+            class_pred.reshape(-1).astype(jnp.int32) - cfg.class_idx,
+            cfg.class_num)
         category_loss = heads.bce_sum(
             refinement_vector.reshape(-1, refinement_vector.shape[-1])[:, 1:],
             cls_onehot, w_pos)
@@ -470,6 +476,13 @@ class RefineNetwork:
         self.darknet = darknet
         cfg = config or FusionConfig(
             class_num=12, loss_variant="module2", loss_lambda=(15.0, 5.0))
+        if cfg.loss_variant != "module2":
+            # this IS the module2 network: a caller passing a config for
+            # one knob (e.g. conf_thresh) must not silently inherit the
+            # module3 loss, which drops the category + regression terms
+            # this head trains on
+            from dataclasses import replace
+            cfg = replace(cfg, loss_variant="module2")
         self.cfg = cfg
 
     def init(self, rng):

@@ -66,7 +66,12 @@ def batch_norm(x, p, s, train, weight=None, momentum=_HEAD_BN_MOMENTUM):
             var_u = var * (cnt / max(cnt - 1, 1))
         else:
             wsum = jnp.maximum(weight.sum(), 1.0)
-            wx = weight[..., None]
+            # pad weight with TRAILING singletons up to x.ndim: a bare
+            # [..., None] right-aligns [N] against x [N,1,1,C] as
+            # (1,1,N,1) and the "mean" silently becomes an unmasked sum
+            # over a broadcast product (caught by review round 3)
+            wx = weight.reshape(weight.shape
+                                + (1,) * (x.ndim - weight.ndim))
             mean = (x * wx).sum(axis=tuple(range(x.ndim - 1))) / wsum
             var = (((x - mean) ** 2) * wx).sum(
                 axis=tuple(range(x.ndim - 1))) / wsum

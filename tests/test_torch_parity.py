@@ -196,3 +196,30 @@ def test_batch_norm_weighted_running_stats_torch(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(y[:n_real]),
                                np.asarray(y)[:n_real], rtol=1e-5)
+
+
+def test_masked_batch_norm_4d_matches_explicit():
+    """Masked BN with a [N] weight over a 4-d [N,1,1,C] input (the
+    radar_net BN's actual call shape) must equal BN computed over only
+    the valid rows — the old [..., None] broadcast right-aligned the
+    weight and turned the 'mean' into an unmasked sum."""
+    import jax.numpy as jnp
+    from millieye_tpu.models.heads import batch_norm
+
+    rng = np.random.default_rng(0)
+    n, c = 6, 10
+    x = jnp.asarray(rng.standard_normal((n, 1, 1, c)), jnp.float32)
+    w = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.float32)   # 2 padded rows
+    p = {"gamma": jnp.ones(c), "beta": jnp.zeros(c)}
+    s = {"mean": jnp.zeros(c), "var": jnp.ones(c)}
+    y, new_s = batch_norm(x, p, s, train=True, weight=w)
+
+    xv = np.asarray(x)[:4, 0, 0]                        # valid rows only
+    mean = xv.mean(0)
+    var = xv.var(0)
+    np.testing.assert_allclose(
+        np.asarray(y)[:4, 0, 0],
+        (xv - mean) / np.sqrt(var + 1e-5), rtol=1e-4, atol=1e-5)
+    # running stats track the masked batch stats (unbiased var)
+    np.testing.assert_allclose(np.asarray(new_s["mean"]),
+                               0.1 * mean, rtol=1e-4, atol=1e-6)
