@@ -200,7 +200,13 @@ def main():
                 # + full-M 128-row stage-0 superbands
                 ("bfloat16", "pallas_s2d8", (), False, False, (0, 2, 4),
                  "float16", (), "bfloat16", (0, 2), True, "default",
-                 "s2d8", "pallas"))
+                 "s2d8", "pallas"),
+                # + deep stem: stages 4/6 through the generic planar
+                # kernel on top of the s2d pair (gated by
+                # stem_pallas_check.py deep before e2e measurement)
+                ("bfloat16", "pallas_deep", (), False, False, (0, 2, 4),
+                 "float16", (), "bfloat16", (0, 2, 4, 6), True, "default",
+                 "s2d", "pallas"))
     global _DROPPED_STALE
     # comma-separated EXACT variant names: substring matching would pull
     # pallas_s2d8 into a MILLIEYE_ONLY=pallas_s2d rerun — an extra ~10 min

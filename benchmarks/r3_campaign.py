@@ -11,6 +11,9 @@ degrades the downstream steps instead of killing them:
     1. probe      tiny matmul + D2H fetch (is the tunnel alive at all?)
     2. stem_gate  stem_pallas_check.py stem2  -> standalone us per stem
                   spelling (packed / s2d / s2d8); best TWO go e2e
+    2b. deep_gate stem_pallas_check.py deep -> pallas_deep (stages 4/6
+                  via the planar kernel) joins the e2e candidates only
+                  if it beats xla_default standalone at BOTH shapes
     3. nms_gate   benchmarks/nms_tpu_check.py -> blocked kernel ok?
     4. details    MILLIEYE_ONLY=pallas_max  (+ blocked-NMS fallback env)
     5. details    MILLIEYE_ONLY=<each gated stem candidate>
@@ -96,7 +99,35 @@ def main():
     # the same stage)
     gated = sorted((p for p, us in stem_us.items() if us is not None),
                    key=lambda p: stem_us[p])[:2]
-    record("stem_gate", rc, dt, stem_us=stem_us, candidates=gated)
+    # copy: summary.json is re-serialized after every step, and the deep
+    # gate below appends to `gated` — a live reference would rewrite
+    # this step's record
+    record("stem_gate", rc, dt, stem_us=stem_us, candidates=list(gated))
+
+    # deep stem stages (4/6 via the generic planar kernel): the
+    # pallas_deep preset enters the e2e ladder only if the kernel beats
+    # the DEFAULT-precision XLA stage at BOTH shapes standalone (the
+    # round-3 lesson: the e2e XLA stem is cheaper than standalone
+    # HIGHEST, so gate against the honest baseline)
+    rc, tail, dt = run("deep_gate",
+                       ["benchmarks/stem_pallas_check.py", "deep"], 3600)
+
+    def _us2(name):
+        m = re.search(re.escape(name) + r"\.*\s+(\d+) us/batch", tail)
+        return int(m.group(1)) if m else None
+
+    deep_wins = []
+    for tag in ("s4", "s6"):
+        ref = _us2(f"deep_{tag}_xla_def")
+        ker = _us2(f"deep_{tag}_default")
+        deep_wins.append(ref is not None and ker is not None and ker < ref)
+    deep_ok = rc == 0 and all(deep_wins)
+    record("deep_gate", rc, dt, deep_ok=deep_ok,
+           us={t: {"xla_def": _us2(f"deep_{t}_xla_def"),
+                   "pallas_def": _us2(f"deep_{t}_default")}
+               for t in ("s4", "s6")})
+    if deep_ok:
+        gated.append("pallas_deep")
 
     rc, tail, dt = run("nms_gate", ["benchmarks/nms_tpu_check.py"], 2400)
     blocked_ok = rc == 0

@@ -143,11 +143,58 @@ def main_stem2():
             print(f"  {name:.<18} FAILED {str(e)[:140]}", flush=True)
 
 
+def main_deep():
+    """Deep stem stages (argv[1] == "deep"): the generic planar kernel
+    at the stage-4 (104px, cin 32) and stage-6 (52px, cin 64) shapes —
+    exactness vs the HIGHEST XLA composition, then scan-amortized timing
+    against the e2e-relevant XLA baselines. The campaign's deep gate
+    parses the ``deep_s{4,6}_default`` lines: the pallas_deep preset
+    only enters the e2e ladder if BOTH stages beat xla_default."""
+    rng = np.random.default_rng(0)
+    for tag, (b_sz, h, cin, cout) in (("s4", (32, 104, 32, 64)),
+                                      ("s6", (32, 52, 64, 128))):
+        x = jnp.asarray(rng.uniform(-1, 1, (b_sz, h, h, cin)), jnp.float32)
+        w = jnp.asarray(0.1 * rng.standard_normal((3, 3, cin, cout)),
+                        jnp.float32)
+        bias = jnp.asarray(0.05 * rng.standard_normal(cout), jnp.float32)
+
+        got = np.asarray(fused_stem_planar(x, w, bias))
+        ref_hi = np.asarray(jax.jit(
+            lambda a: plain(a, w, bias, lax.Precision.HIGHEST))(x))
+        e_hi = np.abs(got - ref_hi).max()
+        print(f"deep {tag} b{b_sz} {h}x{cin}->{cout}: maxerr {e_hi:.2e}",
+              flush=True)
+        assert e_hi < 1e-4, e_hi
+
+        for name, f in (
+            (f"deep_{tag}_xla_hi", lambda z: plain(
+                z, w, bias, lax.Precision.HIGHEST)),
+            (f"deep_{tag}_xla_def", lambda z: plain(z, w, bias)),
+            # the e2e serving path runs bf16 storage around these
+            # stages: time the bf16-in/bf16-out XLA stage too
+            (f"deep_{tag}_xla_bf16", lambda z: plain(
+                z.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                bias.astype(jnp.bfloat16))),
+            (f"deep_{tag}_highest", lambda z: fused_stem_planar(
+                z, w, bias)),
+            (f"deep_{tag}_default", lambda z: fused_stem_planar(
+                z, w, bias, precision="default")),
+        ):
+            try:
+                t = bench_scanned(f, x, k=10)
+                print(f"  {name:.<22} {t*1e6:.0f} us/batch "
+                      f"({b_sz/t:.0f} fps)", flush=True)
+            except Exception as e:
+                print(f"  {name:.<22} FAILED {str(e)[:140]}", flush=True)
+
+
 def main():
     rng = np.random.default_rng(0)
     variant = sys.argv[1] if len(sys.argv) > 1 else "batched"
     if variant == "stem2":
         return main_stem2()
+    if variant == "deep":
+        return main_deep()
     for (b_sz, h, cin, cout, band) in ((32, 416, 3, 16, 16),
                                        (32, 208, 16, 32, 16),
                                        (1, 416, 3, 16, 16)):

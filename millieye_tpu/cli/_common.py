@@ -112,6 +112,17 @@ SERVING_PRESETS = {
                     "pallas_precision": "default",
                     "pallas_variant": "s2d8",
                     "roi_impl": "pallas", "roi_precision": "default"},
+    # + deep stem: stages 4 (104px, cin 32) and 6 (52px, cin 64) fused
+    # through the generic single-stage planar kernel too — every
+    # conv+pool pair down to the 26px grid keeps its full-res
+    # intermediate out of HBM (stage 6's 52 rows ride the kernel's
+    # band-grid padding to 56)
+    "pallas_deep": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                    "hi_store": "float16", "heads_dtype": "bfloat16",
+                    "pallas": (0, 2, 4, 6), "pallas_pair": True,
+                    "pallas_precision": "default",
+                    "pallas_variant": "s2d",
+                    "roi_impl": "pallas", "roi_precision": "default"},
     "s2d": {"s2d": True},
     "bf16_s2d": {"compute_dtype": "bfloat16", "s2d": True},
     "int8": {"s2d": True, "weights_int8": True},

@@ -502,8 +502,9 @@ def fused_stem_planar(x, w, b, band=None, interpret=False, out_dtype=None,
     """NHWC drop-in for ``fused_stem`` via the planar kernel.
 
     [N, H, W, C] -> [N, H/2, W/2, D] == maxpool2(leaky(conv3x3(x)+b)).
-    ``band``: pre-pool rows per VMEM band (even, H % band == 0); None
-    picks the largest even divisor of H at most 16 (band=16 measured
+    ``band``: pre-pool rows per VMEM band (even; H is zero-padded up to
+    the band grid and the garbage pooled rows sliced off); None picks 16
+    or 8, preferring whichever wastes <= 4 pad rows (band=16 measured
     fastest at the stem shapes; 32 exceeds the 16 MB scoped-VMEM stack).
     ``variant``: "batched" (one [D,K]x[K,band*W] dot per band) or
     "rowdot" (per-row dots, no sublane<->lane reshapes).
@@ -523,13 +524,17 @@ def fused_stem_planar(x, w, b, band=None, interpret=False, out_dtype=None,
     n, h, w_in, cin = x.shape
     cout = w.shape[3]
     assert w.shape[:3] == (3, 3, cin), w.shape
+    # rows are padded up to an 8-aligned band grid rather than falling
+    # back to unaligned bands (Mosaic-provable dynamic offsets beat a
+    # few garbage rows: h=52 -> 56 costs one band's compute, h=104 is
+    # already clean) — the padded pooled rows are sliced off below
+    h_eff = h if band is None else _round_up(h, band)
     if band is None:
-        # prefer 8-aligned bands (Mosaic-provable dynamic offsets);
-        # non-multiple-of-8 divisors still work via the unaligned path
-        band = next((k for k in (16, 8) if h % k == 0),
-                    next(k for k in range(14, 0, -2) if h % k == 0))
+        h_eff = next((_round_up(h, k) for k in (16, 8)
+                      if _round_up(h, k) - h <= 4), _round_up(h, 8))
+        band = next(k for k in (16, 8) if h_eff % k == 0)
     assert h % 2 == 0 and w_in % 2 == 0 and band % 2 == 0 \
-        and h % band == 0
+        and h_eff % band == 0
     out_dtype = jnp.dtype(out_dtype or x.dtype)
     # Mosaic has no f16 type ("Unsupported type in mosaic dialect: 'f16'"
     # kills the whole e2e compile): when the hi_prec_store ladder asks
@@ -542,10 +547,12 @@ def fused_stem_planar(x, w, b, band=None, interpret=False, out_dtype=None,
     assert variant in ("batched", "rowdot"), variant
     prec = _PRECISIONS[precision]
 
-    # rows padded 1 above + 7 below: the kernel loads aligned
-    # (band+8)-row blocks, so the last band reads 6 rows past the halo
+    # rows padded 1 above + 7 below (+ the band-grid pad): the kernel
+    # loads aligned (band+8)-row blocks, so the last band reads 6 rows
+    # past the halo
     xp = jnp.pad(x.astype(jnp.float32).transpose(0, 3, 1, 2),
-                 ((0, 0), (0, 0), (1, 7), (1, w_pad - w_in - 1)))
+                 ((0, 0), (0, 0), (1, 7 + h_eff - h),
+                  (1, w_pad - w_in - 1)))
     # A[d, c*9 + u*3 + v] = w[u, v, c, d]; zero K-pad columns make the
     # scratch's uninitialized tail rows contribute nothing
     a_mat = jnp.pad(w.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
@@ -557,32 +564,33 @@ def fused_stem_planar(x, w, b, band=None, interpret=False, out_dtype=None,
     if variant == "batched":
         kernel = functools.partial(
             _stem_kernel_planar, band=band, w_pad=w_pad, cin=cin,
-            cout=cout, k_pad=k_pad, n_bands=h // band, precision=prec)
+            cout=cout, k_pad=k_pad, n_bands=h_eff // band, precision=prec)
         scratch = [pltpu.VMEM((k_pad, band, w_pad), jnp.float32)]
     else:
         kernel = functools.partial(
             _stem_kernel_planar_rowdot, band=band, w_pad=w_pad, cin=cin,
-            cout=cout, k_pad=k_pad, n_bands=h // band, precision=prec)
+            cout=cout, k_pad=k_pad, n_bands=h_eff // band, precision=prec)
         scratch = [pltpu.VMEM((k_pad, w_pad), jnp.float32),
                    pltpu.VMEM((cout, band // 2, w_pad // 2), jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((None, cin, h + 8, w_pad),
+            pl.BlockSpec((None, cin, h_eff + 8, w_pad),
                          lambda i: (i, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, cout, h // 2, w_pad // 2),
+        out_specs=pl.BlockSpec((None, cout, h_eff // 2, w_pad // 2),
                                lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, cout, h // 2, w_pad // 2),
+        out_shape=jax.ShapeDtypeStruct((n, cout, h_eff // 2, w_pad // 2),
                                        store_dtype),
         scratch_shapes=scratch,
         interpret=interpret,
     )(xp, a_mat, b.astype(jnp.float32).reshape(cout, 1), psel)
-    return out[:, :, :, :w_in // 2].transpose(0, 2, 3, 1).astype(out_dtype)
+    return (out[:, :, :h // 2, :w_in // 2].transpose(0, 2, 3, 1)
+            .astype(out_dtype))
 
 
 @functools.partial(jax.jit,

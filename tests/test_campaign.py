@@ -15,6 +15,15 @@ GATE_OUT = """stem2 b32 416x3->16->32: maxerr 4.05e-05
   s2d8_bf16s........ 1100 us/batch (29091 fps)
 """
 
+DEEP_OUT = """deep s4 b32 104x32->64: maxerr 3.11e-05
+  deep_s4_xla_hi........ 700 us/batch (45714 fps)
+  deep_s4_xla_def....... 400 us/batch (80000 fps)
+  deep_s4_default....... 300 us/batch (106667 fps)
+deep s6 b32 52x64->128: maxerr 2.87e-05
+  deep_s6_xla_def....... 380 us/batch (84211 fps)
+  deep_s6_default....... 290 us/batch (110345 fps)
+"""
+
 
 def _load(tmp_path):
     spec = importlib.util.spec_from_file_location(
@@ -39,7 +48,8 @@ def _fake_run(tmp_path, calls, gates_ok):
         if argv[0] == "-c":
             out = "PROBE_OK 128.0\n"
         elif "stem_pallas_check" in name:
-            out, rc = (GATE_OUT, 0) if gates_ok else ("boom\n", 1)
+            good = DEEP_OUT if "deep" in argv else GATE_OUT
+            out, rc = (good, 0) if gates_ok else ("boom\n", 1)
         elif "nms_tpu_check" in name:
             rc = 0 if gates_ok else 1
         elif "details" in name:
@@ -48,7 +58,8 @@ def _fake_run(tmp_path, calls, gates_ok):
             det = (json.loads(det_path.read_text())
                    if det_path.exists() else {})
             fps = {"pallas_max": 4000.0, "pallas_s2d": 4400.0,
-                   "pallas_s2d8": 4600.0, "pallas_packed": 4100.0}[only]
+                   "pallas_s2d8": 4600.0, "pallas_packed": 4100.0,
+                   "pallas_deep": 4800.0}[only]
             det[f"fusion_fwd_bfloat16_{only}_b32_fps"] = fps
             det_path.write_text(json.dumps(det))
         elif "bench.py" in name:
@@ -72,13 +83,16 @@ def test_campaign_happy_path_orders_ladder_by_measured_fps(tmp_path,
     # best TWO stem spellings by standalone us (s2d8 1100 < s2d 1300)
     assert s["steps"]["stem_gate"]["candidates"] == ["pallas_s2d8",
                                                      "pallas_s2d"]
+    # deep gate: kernel beats xla_default at both shapes -> joins e2e
+    assert s["steps"]["deep_gate"]["deep_ok"] is True
     assert s["steps"]["nms_gate"]["blocked_ok"] is True
     lad = json.loads((tmp_path / "runs" / "bench_ladder.json").read_text())
     assert [r["preset"] for r in lad["rungs"]] == [
-        "pallas_s2d8", "pallas_s2d", "pallas_max", "pallas_stem2", "f32"]
+        "pallas_deep", "pallas_s2d8", "pallas_s2d", "pallas_max",
+        "pallas_stem2", "f32"]
     # proven-fallback rungs keep their protective env
-    assert lad["rungs"][3]["env"] == {"MILLIEYE_NMS_BLOCKED": "0"}
-    assert lad["rungs"][4]["env"] == {"MILLIEYE_NMS_PALLAS": "0"}
+    assert lad["rungs"][4]["env"] == {"MILLIEYE_NMS_BLOCKED": "0"}
+    assert lad["rungs"][5]["env"] == {"MILLIEYE_NMS_PALLAS": "0"}
     assert s["steps"]["bench_2"]["json_line"].startswith("{")
 
 

@@ -63,7 +63,8 @@ def test_serving_overrides_shape():
                                     "bf16_f32stem", "bf16_heads",
                                     "pallas_stem", "pallas_stem2",
                                     "pallas_phase", "pallas_max", "pallas_packed",
-                                        "pallas_s2d", "pallas_s2d8", "s2d",
+                                    "pallas_s2d", "pallas_s2d8",
+                                    "pallas_deep", "s2d",
                                     "bf16_s2d", "int8", "int8_acts"}
     s2d, hi, store, pkw, over = serving_overrides("pallas_stem")
     assert pkw == {"pallas_stem": (0, 2), "pallas_pair": False,

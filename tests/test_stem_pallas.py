@@ -42,9 +42,9 @@ def test_fused_stem_matches_plain(shape, th):
 @pytest.mark.parametrize("shape", [(2, 32, 32, 3, 16),
                                    (1, 40, 24, 5, 8)])
 def test_fused_stem_planar_auto_band(shape, variant):
-    """Planar kernel with band=None: largest even divisor of H <= 16
-    (40 -> 10, 32 -> 16) must reproduce the XLA composition, including
-    odd lane-padding (W=24 pads to 128)."""
+    """Planar kernel with band=None: 8-aligned bands (40 -> band 8,
+    32 -> band 16) must reproduce the XLA composition, including odd
+    lane-padding (W=24 pads to 128)."""
     n, h, wd, cin, cout = shape
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.uniform(-1, 1, (n, h, wd, cin)), jnp.float32)
@@ -55,6 +55,39 @@ def test_fused_stem_planar_auto_band(shape, variant):
     got = fused_stem_planar(x, w, b, interpret=True, variant=variant)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(1, 26, 26, 32, 16),   # h%8 != 0:
+                                   (1, 20, 20, 16, 8)])   # band-grid pad
+def test_fused_stem_planar_row_padded_bands(shape):
+    """Heights off the 8-row band grid (the deep stem stages: 52px at
+    stage 6, or any odd crop) are zero-padded up to it and the garbage
+    pooled rows sliced off — values must still match XLA exactly."""
+    n, h, wd, cin, cout = shape
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(-1, 1, (n, h, wd, cin)), jnp.float32)
+    w = jnp.asarray(0.3 * rng.standard_normal((3, 3, cin, cout)),
+                    jnp.float32)
+    b = jnp.asarray(0.1 * rng.standard_normal(cout), jnp.float32)
+    got = fused_stem_planar(x, w, b, interpret=True)
+    assert got.shape == (n, h // 2, wd // 2, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_plain(x, w, b)),
+                               atol=1e-4)
+
+
+def test_fused_stem_planar_deep_stage_channels():
+    """Stage-4/6-like channel counts (cin 32/64 — K=288/576 patch
+    scratches) through the same generic planar kernel, at a reduced
+    spatial size so interpret mode stays fast."""
+    rng = np.random.default_rng(5)
+    for (cin, cout) in ((32, 64), (64, 128)):
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 16, 16, cin)), jnp.float32)
+        w = jnp.asarray(0.2 * rng.standard_normal((3, 3, cin, cout)),
+                        jnp.float32)
+        b = jnp.asarray(0.1 * rng.standard_normal(cout), jnp.float32)
+        got = fused_stem_planar(x, w, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(_plain(x, w, b)), atol=1e-4)
 
 
 def test_fused_stem_out_dtype():
@@ -411,6 +444,86 @@ def test_serving_preset_pallas_s2d_builds_and_runs():
     out = model.apply(params, state, images, maps, jnp.asarray(rb),
                       jnp.ones((1, 4), bool), mode=0)
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_serving_preset_pallas_deep_builds_and_runs():
+    """pallas_deep preset: the s2d pair on stages 0+2 PLUS single-stage
+    planar kernels on stages 4 and 6 (the maxpools behind them become
+    pass-throughs); one mode-0 forward on CPU returns finite boxes."""
+    import numpy as np
+    from millieye_tpu.cli._common import build_fusion, serving_overrides
+
+    s2d, hi, store, pallas_kw, over = serving_overrides("pallas_deep")
+    assert pallas_kw["pallas_stem"] == (0, 2, 4, 6)
+    assert pallas_kw["pallas_pair"] and pallas_kw["pallas_variant"] == "s2d"
+
+    class A:
+        model_def = None
+        img_size = 128
+
+    model, params, state = build_fusion(
+        A(), s2d_stages=s2d, hi_prec_stages=hi, hi_prec_store=store,
+        **pallas_kw, conf_thresh=0.05, max_det=16,
+        max_radar=4, pre_nms_top_k=64, nms_use_pallas=False, **over)
+    fp, fs = model.darknet.fold_batchnorm(params["darknet"],
+                                          state["darknet"])
+    params = dict(params, darknet=fp)
+    state = dict(state, darknet=fs)
+    S = model.darknet.img_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(1, S, S, 3)), jnp.float32)
+    maps = jnp.asarray(rng.uniform(size=(1, S // 16, S // 16, 3)),
+                       jnp.float32)
+    rb = np.zeros((1, 4, 4), np.float32)
+    rb[..., :2] = rng.uniform(0.1, 0.5, size=(1, 4, 2))
+    rb[..., 2:] = rb[..., :2] + 0.3
+    out = model.apply(params, state, images, maps, jnp.asarray(rb),
+                      jnp.ones((1, 4), bool), mode=0)
+    assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_pallas_deep_matches_s2d_preset():
+    """pallas_deep differs from pallas_s2d only in HOW stages 4/6 are
+    computed (planar kernel, f32 interpret arithmetic vs the XLA ladder's
+    stage-4-f32 / stage-6-bf16 convs) — detections must agree to the
+    bf16 rounding class with the identical keep set."""
+    import numpy as np
+    from millieye_tpu.cli._common import build_fusion, serving_overrides
+
+    rng = np.random.default_rng(3)
+    S = 128
+    images = jnp.asarray(rng.uniform(size=(1, S, S, 3)), jnp.float32)
+    maps = jnp.asarray(rng.uniform(size=(1, S // 16, S // 16, 3)),
+                       jnp.float32)
+    rb = np.zeros((1, 4, 4), np.float32)
+    rb[..., :2] = rng.uniform(0.1, 0.5, size=(1, 4, 2))
+    rb[..., 2:] = rb[..., :2] + 0.3
+    rmask = jnp.ones((1, 4), bool)
+
+    outs = {}
+    for preset in ("pallas_s2d", "pallas_deep"):
+        s2d, hi, store, pallas_kw, over = serving_overrides(preset)
+
+        class A:
+            model_def = None
+            img_size = S
+
+        model, params, state = build_fusion(
+            A(), s2d_stages=s2d, hi_prec_stages=hi, hi_prec_store=store,
+            **pallas_kw, conf_thresh=0.05, max_det=16, max_radar=4,
+            pre_nms_top_k=64, nms_use_pallas=False, **over)
+        fp, fs = model.darknet.fold_batchnorm(params["darknet"],
+                                              state["darknet"])
+        out = model.apply(dict(params, darknet=fp),
+                          dict(state, darknet=fs), images, maps,
+                          jnp.asarray(rb), rmask, mode=0)
+        outs[preset] = (np.asarray(out["boxes"]),
+                        np.asarray(out["valid"]))
+
+    ref_b, ref_v = outs["pallas_s2d"]
+    b, v = outs["pallas_deep"]
+    np.testing.assert_array_equal(v, ref_v)
+    np.testing.assert_allclose(b, ref_b, atol=5e-2, rtol=5e-3)
 
 
 def test_pallas_preset_family_cross_parity():
