@@ -91,14 +91,16 @@ def main():
     def build(dtype, s2d=(), int8=False, int8_acts=False, hi_prec=(),
               hi_store=None, im2col=(), heads_dtype="float32",
               pallas_stem=(), pallas_pair=False, pallas_prec="highest",
-              pair_variant="select", roi_impl="einsum"):
+              pair_variant="select", roi_impl="einsum",
+              pallas_pairs="first"):
         darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=s),
                           img_size=s, s2d_stages=s2d, hi_prec_stages=hi_prec,
                           hi_prec_store=hi_store, im2col_stages=im2col,
                           pallas_stem_stages=pallas_stem,
                           pallas_stem_pair=pallas_pair,
                           pallas_stem_precision=pallas_prec,
-                          pallas_stem_pair_variant=pair_variant)
+                          pallas_stem_pair_variant=pair_variant,
+                          pallas_stem_pairs=pallas_pairs)
         cfg = FusionConfig(compute_dtype=dtype, heads_dtype=heads_dtype,
                           roi_impl=roi_impl)
         model = FusionNetwork(darknet, cfg)
@@ -206,7 +208,11 @@ def main():
                 # stem_pallas_check.py deep before e2e measurement)
                 ("bfloat16", "pallas_deep", (), False, False, (0, 2, 4),
                  "float16", (), "bfloat16", (0, 2, 4, 6), True, "default",
-                 "s2d", "pallas"))
+                 "s2d", "pallas"),
+                # + the deep PAIR: stages 4+6 as ONE s2d kernel (g0=2)
+                ("bfloat16", "pallas_pair2", (), False, False, (0, 2, 4),
+                 "float16", (), "bfloat16", (0, 2, 4, 6), True, "default",
+                 "s2d", "pallas", "all"))
     global _DROPPED_STALE
     # comma-separated EXACT variant names: substring matching would pull
     # pallas_s2d8 into a MILLIEYE_ONLY=pallas_s2d rerun — an extra ~10 min
@@ -238,10 +244,11 @@ def main():
         pallas_prec = rest[6] if len(rest) > 6 else "highest"
         pair_variant = rest[7] if len(rest) > 7 else "select"
         roi_impl = rest[8] if len(rest) > 8 else "einsum"
+        pallas_pairs = rest[9] if len(rest) > 9 else "first"
         model, params, state = build(dtype, s2d, int8, acts, hi, hi_store,
                                      im2col, heads_dtype, pallas_stem,
                                      pallas_pair, pallas_prec,
-                                     pair_variant, roi_impl)
+                                     pair_variant, roi_impl, pallas_pairs)
 
         def fwd(i, m, r, v):
             out = model.apply(params, state, i, m, r, v, mode=0)

@@ -206,6 +206,17 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
                     pallas_stem_precision="default",
                     pallas_stem_pair_variant="s2d"), roi_cfg),
             dict(params, darknet=fp), "bfloat16"),
+        # + the deep PAIR (stages 4+6 as one s2d kernel, g0=2):
+        # trained-net no-regression gate for the pallas_pair2 preset
+        "pallas_pair2": (FusionNetwork(
+            Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                    img_size=IMG, hi_prec_stages=(0, 2, 4),
+                    hi_prec_store=jnp.float16,
+                    pallas_stem_stages=(0, 2, 4, 6),
+                    pallas_stem_pair=True, pallas_stem_pairs="all",
+                    pallas_stem_precision="default",
+                    pallas_stem_pair_variant="s2d"), roi_cfg),
+            dict(params, darknet=fp), "bfloat16"),
         "bf16_f32stem": (FusionNetwork(
             mixed_dn, FusionConfig(conf_thresh=0.2, pre_nms_top_k=512,
                                    max_det=64, max_radar=16,

@@ -14,6 +14,9 @@ degrades the downstream steps instead of killing them:
     2b. deep_gate stem_pallas_check.py deep -> pallas_deep (stages 4/6
                   via the planar kernel) joins the e2e candidates only
                   if it beats xla_default standalone at BOTH shapes
+    2c. pair2_gate stem_pallas_check.py pair2 -> pallas_pair2 (stages
+                  4+6 as ONE s2d kernel) replaces pallas_deep in the
+                  candidates if it beats both xla and the singles
     3. nms_gate   benchmarks/nms_tpu_check.py -> blocked kernel ok?
     4. details    MILLIEYE_ONLY=pallas_max  (+ blocked-NMS fallback env)
     5. details    MILLIEYE_ONLY=<each gated stem candidate>
@@ -128,6 +131,25 @@ def main():
                for t in ("s4", "s6")})
     if deep_ok:
         gated.append("pallas_deep")
+
+    # deep PAIR (stages 4+6 as one s2d kernel): enters only if it beats
+    # BOTH the XLA stages and the two single-stage kernels standalone —
+    # and then REPLACES pallas_deep in the candidate list (same stages,
+    # strictly stronger fusion; don't spend two ~10 min details runs on
+    # the weaker spelling)
+    rc, tail, dt = run("pair2_gate",
+                       ["benchmarks/stem_pallas_check.py", "pair2"], 3600)
+    p_xla, p_single = _us2("pair2_xla_def"), _us2("pair2_singles")
+    p_pair = _us2("pair2_s2d_bf16s")
+    pair2_ok = (rc == 0 and None not in (p_xla, p_pair)
+                and p_pair < p_xla
+                and (p_single is None or p_pair < p_single))
+    record("pair2_gate", rc, dt, pair2_ok=pair2_ok,
+           us={"xla_def": p_xla, "singles": p_single, "pair": p_pair})
+    if pair2_ok:
+        if "pallas_deep" in gated:
+            gated.remove("pallas_deep")
+        gated.append("pallas_pair2")
 
     rc, tail, dt = run("nms_gate", ["benchmarks/nms_tpu_check.py"], 2400)
     blocked_ok = rc == 0

@@ -188,6 +188,61 @@ def main_deep():
                 print(f"  {name:.<22} FAILED {str(e)[:140]}", flush=True)
 
 
+def main_pair2(rng=None):
+    """Deep PAIR (argv[1] == "pair2"): stages 4+6 as ONE fused_stem2_s2d
+    kernel (g0=2 full-M tiling, 104 px row-padded to 128) — exactness vs
+    the XLA two-stage composition, then scan timing against xla_default,
+    the two single-stage planar kernels (the pallas_deep spelling), and
+    the serving bf16-scratch variant. Campaign parses the
+    ``pair2_*`` lines; pallas_pair2 enters the e2e ladder only if the
+    pair beats BOTH xla_default and the single-stage pair."""
+    from millieye_tpu.ops.stem_pallas import fused_stem2_s2d
+
+    rng = rng or np.random.default_rng(0)
+    b_sz, h, cin, cmid, cout = 32, 104, 32, 64, 128
+    x = jnp.asarray(rng.uniform(-1, 1, (b_sz, h, h, cin)), jnp.float32)
+    w0 = jnp.asarray(0.1 * rng.standard_normal((3, 3, cin, cmid)),
+                     jnp.float32)
+    b0 = jnp.asarray(0.05 * rng.standard_normal(cmid), jnp.float32)
+    w1 = jnp.asarray(0.1 * rng.standard_normal((3, 3, cmid, cout)),
+                     jnp.float32)
+    b1 = jnp.asarray(0.05 * rng.standard_normal(cout), jnp.float32)
+
+    def two_stage(z, prec):
+        return plain(plain(z, w0, b0, prec), w1, b1, prec)
+
+    got = np.asarray(fused_stem2_s2d(x, w0, b0, w1, b1, groups0=2))
+    ref_hi = np.asarray(jax.jit(
+        lambda a: two_stage(a, lax.Precision.HIGHEST))(x))
+    e_hi = np.abs(got - ref_hi).max()
+    print(f"pair2 b{b_sz} {h}x{cin}->{cmid}->{cout}: maxerr {e_hi:.2e}",
+          flush=True)
+    assert e_hi < 1e-4, e_hi
+
+    for name, f in (
+        ("pair2_xla_def", lambda z: two_stage(z, None)),
+        ("pair2_singles", lambda z: fused_stem_planar(
+            fused_stem_planar(z, w0, b0, precision="default"),
+            w1, b1, precision="default")),
+        ("pair2_s2d_hi", lambda z: fused_stem2_s2d(
+            z, w0, b0, w1, b1, groups0=2)),
+        ("pair2_s2d_bf16s", lambda z: fused_stem2_s2d(
+            z, w0, b0, w1, b1, groups0=2, precision="default",
+            scratch_dtype=jnp.bfloat16)),
+        # group-count ablation (4 = the stage-0 packing factor, 75%
+        # block-diagonal K waste at cin=32)
+        ("pair2_s2d4_bf16s", lambda z: fused_stem2_s2d(
+            z, w0, b0, w1, b1, groups0=4, precision="default",
+            scratch_dtype=jnp.bfloat16)),
+    ):
+        try:
+            t = bench_scanned(f, x, k=10)
+            print(f"  {name:.<22} {t*1e6:.0f} us/batch "
+                  f"({b_sz/t:.0f} fps)", flush=True)
+        except Exception as e:
+            print(f"  {name:.<22} FAILED {str(e)[:140]}", flush=True)
+
+
 def main():
     rng = np.random.default_rng(0)
     variant = sys.argv[1] if len(sys.argv) > 1 else "batched"
@@ -195,6 +250,8 @@ def main():
         return main_stem2()
     if variant == "deep":
         return main_deep()
+    if variant == "pair2":
+        return main_pair2()
     for (b_sz, h, cin, cout, band) in ((32, 416, 3, 16, 16),
                                        (32, 208, 16, 32, 16),
                                        (1, 416, 3, 16, 16)):

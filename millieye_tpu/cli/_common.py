@@ -24,7 +24,7 @@ def build_darknet(model_cfg=None, num_classes=12, img_size=416,
 def build_fusion(args_cfg=None, s2d_stages=(), hi_prec_stages=(),
                  hi_prec_store=None, pallas_stem=(), pallas_pair=False,
                  pallas_precision="highest", pallas_variant="select",
-                 **overrides):
+                 pallas_pairs="first", **overrides):
     darknet = build_darknet(getattr(args_cfg, "model_def", None),
                             img_size=getattr(args_cfg, "img_size", 416),
                             s2d_stages=s2d_stages)
@@ -33,6 +33,7 @@ def build_fusion(args_cfg=None, s2d_stages=(), hi_prec_stages=(),
     darknet.pallas_stem_pair = bool(pallas_pair)
     darknet.pallas_stem_precision = pallas_precision
     darknet.pallas_stem_pair_variant = pallas_variant
+    darknet.pallas_stem_pairs = pallas_pairs
     if hi_prec_store is not None:
         import jax.numpy as jnp
         darknet.hi_prec_store = jnp.dtype(hi_prec_store)
@@ -123,6 +124,15 @@ SERVING_PRESETS = {
                     "pallas_precision": "default",
                     "pallas_variant": "s2d",
                     "roi_impl": "pallas", "roi_precision": "default"},
+    # + the deep PAIR: stages 4+6 as ONE s2d kernel too (g0=2 full-M
+    # tiling; the 52px intermediate never leaves VMEM) — the stronger
+    # sibling of pallas_deep's two single-stage kernels
+    "pallas_pair2": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                     "hi_store": "float16", "heads_dtype": "bfloat16",
+                     "pallas": (0, 2, 4, 6), "pallas_pair": True,
+                     "pallas_precision": "default",
+                     "pallas_variant": "s2d", "pallas_pairs": "all",
+                     "roi_impl": "pallas", "roi_precision": "default"},
     "s2d": {"s2d": True},
     "bf16_s2d": {"compute_dtype": "bfloat16", "s2d": True},
     "int8": {"s2d": True, "weights_int8": True},
@@ -143,6 +153,7 @@ def serving_overrides(name):
         "pallas_pair": bool(preset.pop("pallas_pair", False)),
         "pallas_precision": preset.pop("pallas_precision", "highest"),
         "pallas_variant": preset.pop("pallas_variant", "select"),
+        "pallas_pairs": preset.pop("pallas_pairs", "first"),
     }
     return s2d, hi, store, pallas_kw, preset
 

@@ -190,7 +190,8 @@ class Darknet:
                  hi_prec_stages=(), hi_prec_store=None, im2col_stages=(),
                  pallas_stem_stages=(), pallas_stem_variant="batched",
                  pallas_stem_pair=False, pallas_stem_precision="highest",
-                 pallas_stem_pair_variant="select"):
+                 pallas_stem_pair_variant="select",
+                 pallas_stem_pairs="first"):
         if isinstance(config, (str,)):
             config = parse_model_config(config)
         self.hyperparams = config[0]
@@ -209,6 +210,14 @@ class Darknet:
         # intermediate never leaves VMEM, so its hi_prec_store slot is
         # moot and stage lo+1..lo+3 become pass-throughs at inference
         self.pallas_stem_pair = bool(pallas_stem_pair)
+        # "first" = only the lowest pair (stages lo/lo+2, the shipped
+        # round-3 behavior); "all" = also double-fuse every later
+        # consecutive stage pair in pallas_stem_stages (4+6 — the deep
+        # pair, s2d-family kernels only)
+        if pallas_stem_pairs not in ("first", "all"):
+            raise ValueError(
+                f"unknown pallas_stem_pairs {pallas_stem_pairs!r}")
+        self.pallas_stem_pairs = pallas_stem_pairs
         # pair-kernel spelling: "select" = one-hot pool-select matmuls
         # (fused_stem2_planar), "phase" = phase-grouped lanes with the
         # pool as lane-block maxes (fused_stem2_phase, ~9% faster
@@ -452,19 +461,37 @@ class Darknet:
             return (j in self.pallas_stem_stages and not train
                     and "gamma" not in params[j] and "w" in params[j])
 
-        pair_lo, pair_skip = -1, ()
+        pair_los, pair_skip = (), ()
         if (self.pallas_stem_pair and self.pallas_stem_stages
                 and not collect_act_stats):
-            lo = min(self.pallas_stem_stages)
-            if _pallas_fused(lo) and _pallas_fused(lo + 2):
-                pair_lo, pair_skip = lo, (lo + 1, lo + 2, lo + 3)
+            stages = sorted(self.pallas_stem_stages)
+            # "first" = the shipped single-pair behavior; "all" also
+            # pairs the deeper stem stages (4+6) — s2d-family kernels
+            # only (the generalized fused_stem2_s2d; the other pair
+            # spellings are tuned to the 3-channel stage-0 layout)
+            cand = (stages[:1] if self.pallas_stem_pairs == "first"
+                    else stages)
+            los, taken = [], set()
+            for lo in cand:
+                if lo in taken:
+                    continue
+                if (lo != stages[0] and self.pallas_stem_pair_variant
+                        not in ("s2d", "s2d8")):
+                    continue
+                if (lo + 2 in self.pallas_stem_stages
+                        and _pallas_fused(lo) and _pallas_fused(lo + 2)):
+                    los.append(lo)
+                    taken.update((lo, lo + 1, lo + 2, lo + 3))
+            pair_los = tuple(los)
+            pair_skip = tuple(t for lo in los
+                              for t in (lo + 1, lo + 2, lo + 3))
 
         for i, info in enumerate(self._plan):
             t = info["type"]
             p = params[i]
             if i in pair_skip:
                 x = outputs[-1]   # consumed by the double-fused pair
-            elif i == pair_lo:
+            elif i in pair_los:
                 from millieye_tpu.ops.stem_pallas import (
                     fused_stem2_packed, fused_stem2_phase,
                     fused_stem2_planar, fused_stem2_s2d)
@@ -484,6 +511,16 @@ class Darknet:
                         jnp.bfloat16
                         if self.pallas_stem_precision == "default"
                         else None)
+                if (i != min(pair_los)
+                        and self.pallas_stem_pair_variant in ("s2d",
+                                                              "s2d8")):
+                    # deep pairs: c_mid fills the 128-row M tile at a
+                    # smaller group count (2 at c_mid=64) — the stage-0
+                    # K-packing factor is a 3-channel-stem artifact
+                    c_mid = p["w"].shape[3]
+                    pair_fn = functools.partial(
+                        fused_stem2_s2d,
+                        groups0=max(2, min(8, 128 // max(c_mid, 1))))
                 xin = outputs[-1] if outputs else images
                 assert (info["act"] == "leaky"
                         and self._plan[i + 2]["act"] == "leaky"), \
@@ -603,7 +640,7 @@ class Darknet:
                 x = det  # occupies the slot, like the reference layer_outputs
             if (t == "convolutional" and self.hi_prec_store is not None
                     and i in self.hi_prec_stages and not train
-                    and i != pair_lo):
+                    and i not in pair_los):
                 # f32 arithmetic above, compact storage between stages:
                 # the cast fuses into the epilogue, HBM sees hi_prec_store.
                 # The double-fused pair is EXCLUDED: its output is

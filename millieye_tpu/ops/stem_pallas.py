@@ -1227,7 +1227,7 @@ def fused_stem2_packed(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
 
 def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                              o_ref, xb, s0, y1s, s1, sem, *,
-                             q, cin, c_mid, c_out, k0_pad, h4, g0,
+                             q, cin, c_mid, c_out, k0_pad, h4, hv4, g0,
                              n_sb, rem_groups, n_bands1, precision,
                              n_e, n_o, sdtype):
     """s2d-stage-1 double-fused stem kernel (module comment above).
@@ -1235,7 +1235,14 @@ def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
     ``g0``: stage-0 groups per superband (4 = the packed kernel's
     layout, M = 4*c_mid; 8 = full-M 128-row superbands, double the
     useful MACs/cycle at double the s0/xb residency — bf16 scratches
-    only).
+    only; 2 = the deep-pair tiling, M = 2*c_mid — a full 128-row M
+    tile at c_mid=64 with half the block-diagonal K waste of g0=4).
+
+    ``hv4``: VALID phase-grid rows (h//4 of the unpadded input). When
+    the wrapper row-pads h up to the 32-grid, stage 0 writes garbage
+    (leaky(bias0)) into phase rows hv4..h4-1 — those are re-zeroed
+    after stage 0 so stage 1 sees the true zero conv halo at the last
+    valid output row instead of pooled padding.
 
     y1s: [4*c_mid, h4+16, q] f32 phase grids — block (2*rho+gam)*c_mid+c,
     row R+8, lane C = stage-1 input pixel (2R+rho, 2C+gam). Rows 0:8 and
@@ -1340,6 +1347,13 @@ def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
         cp.wait()
         superband(n_sb, slot, rem_groups)
 
+    if hv4 < h4:
+        # row-padded input (h off the 32-grid): stage 0 pooled the zero
+        # pad rows into leaky(bias0) values — restore the true zero conv
+        # halo before stage 1 reads them (docstring above)
+        y1s[:, 8 + hv4:8 + h4] = jnp.zeros(
+            (4 * c_mid, h4 - hv4, q), jnp.float32)
+
     def band1(i, _):
         r8 = pl.multiple_of(8 * i, 8)
         for ch in range(4 * c_mid):
@@ -1393,7 +1407,14 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     ``groups0=8`` packs EIGHT 16-row groups per stage-0 superband
     (full-M [8*c_mid, 8*K0] dot, 2x the useful MACs/cycle of the
     4-group tile at 2x the s0/xb VMEM) — requires bf16 scratches to
-    stay inside the 16 MB scoped budget at 416 px.
+    stay inside the 16 MB scoped budget at 416 px. ``groups0=2`` is the
+    deep-pair tiling (stages 4+6: cin 32, c_mid 64 — 2*c_mid fills the
+    128-row M tile exactly, with half the block-diagonal K waste of 4).
+
+    Heights off the 32-row grid (the deep pair's 104 px) are zero-padded
+    up to it; the kernel re-zeroes the padded phase rows after stage 0
+    (true conv halo at the bottom boundary) and the garbage pooled rows
+    are sliced off here.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1403,7 +1424,8 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     c_out = w1.shape[3]
     assert w0.shape[:3] == (3, 3, cin), w0.shape
     assert w1.shape[:3] == (3, 3, c_mid), w1.shape
-    assert h % 32 == 0 and w_in % 4 == 0, (h, w_in)
+    assert h % 4 == 0 and w_in % 4 == 0, (h, w_in)
+    h_eff = _round_up(h, 32)
     out_dtype = jnp.dtype(out_dtype or x.dtype)
     store_dtype = (jnp.dtype(jnp.float32) if out_dtype == jnp.float16
                    else out_dtype)
@@ -1411,23 +1433,25 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     assert sdtype == jnp.float32 or precision == "default", \
         "bf16 scratches change numerics unless the dots are DEFAULT"
     g0 = int(groups0)
-    assert g0 in (4, 8), groups0
+    assert g0 in (2, 4, 8), groups0
     w_pad = _round_up(w_in + 2, 128)
     assert w_pad % 4 == 0
     q = w_pad // 4
     k0_pad = _round_up(9 * cin, 8)
-    n_sb = h // (16 * g0)
-    rem_groups = (h % (16 * g0)) // 16           # even, given h % 32 == 0
-    h4 = h // 4
+    n_sb = h_eff // (16 * g0)
+    rem_groups = (h_eff % (16 * g0)) // 16       # even, given h_eff % 32 == 0
+    h4 = h_eff // 4
+    hv4 = h // 4
     n_bands1 = h4 // 8
     prec = _PRECISIONS[precision]
     n_e = (w_in // 2 + 1) // 2
     n_o = w_in // 2 - n_e
 
     xpf = jnp.pad(x.astype(jnp.float32).transpose(0, 3, 1, 2),
-                  ((0, 0), (0, 0), (1, 7), (1, 4 * q - w_in - 1)))
-    xq = (xpf.reshape(n, cin, h + 8, q, 4).transpose(0, 1, 2, 4, 3)
-          .reshape(n, cin, h + 8, 4 * q).astype(sdtype))
+                  ((0, 0), (0, 0), (1, 7 + h_eff - h),
+                   (1, 4 * q - w_in - 1)))
+    xq = (xpf.reshape(n, cin, h_eff + 8, q, 4).transpose(0, 1, 2, 4, 3)
+          .reshape(n, cin, h_eff + 8, 4 * q).astype(sdtype))
     a0 = jnp.pad(w0.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
         c_mid, 9 * cin), ((0, 0), (0, k0_pad - 9 * cin)))
     a0bd = jnp.kron(jnp.eye(g0, dtype=jnp.float32), a0).astype(sdtype)
@@ -1457,7 +1481,7 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
 
     kernel = functools.partial(
         _stem_kernel_planar2_s2d, q=q, cin=cin, c_mid=c_mid,
-        c_out=c_out, k0_pad=k0_pad, h4=h4, g0=g0, n_sb=n_sb,
+        c_out=c_out, k0_pad=k0_pad, h4=h4, hv4=hv4, g0=g0, n_sb=n_sb,
         rem_groups=rem_groups, n_bands1=n_bands1, precision=prec,
         n_e=n_e, n_o=n_o, sdtype=sdtype)
     out = pl.pallas_call(
@@ -1482,5 +1506,5 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
         ],
         interpret=interpret,
     )(xq, a0bd, b0bd, a1s, b1s)
-    return (out[:, :, :, :w_in // 4].transpose(0, 2, 3, 1)
+    return (out[:, :, :hv4, :w_in // 4].transpose(0, 2, 3, 1)
             .astype(out_dtype))

@@ -24,6 +24,14 @@ deep s6 b32 52x64->128: maxerr 2.87e-05
   deep_s6_default....... 290 us/batch (110345 fps)
 """
 
+PAIR2_OUT = """pair2 b32 104x32->64->128: maxerr 3.40e-05
+  pair2_xla_def......... 780 us/batch (41026 fps)
+  pair2_singles......... 590 us/batch (54237 fps)
+  pair2_s2d_hi.......... 620 us/batch (51613 fps)
+  pair2_s2d_bf16s....... 430 us/batch (74419 fps)
+  pair2_s2d4_bf16s...... 520 us/batch (61538 fps)
+"""
+
 
 def _load(tmp_path):
     spec = importlib.util.spec_from_file_location(
@@ -48,7 +56,8 @@ def _fake_run(tmp_path, calls, gates_ok):
         if argv[0] == "-c":
             out = "PROBE_OK 128.0\n"
         elif "stem_pallas_check" in name:
-            good = DEEP_OUT if "deep" in argv else GATE_OUT
+            good = (PAIR2_OUT if "pair2" in argv
+                    else DEEP_OUT if "deep" in argv else GATE_OUT)
             out, rc = (good, 0) if gates_ok else ("boom\n", 1)
         elif "nms_tpu_check" in name:
             rc = 0 if gates_ok else 1
@@ -59,7 +68,7 @@ def _fake_run(tmp_path, calls, gates_ok):
                    if det_path.exists() else {})
             fps = {"pallas_max": 4000.0, "pallas_s2d": 4400.0,
                    "pallas_s2d8": 4600.0, "pallas_packed": 4100.0,
-                   "pallas_deep": 4800.0}[only]
+                   "pallas_deep": 4800.0, "pallas_pair2": 5000.0}[only]
             det[f"fusion_fwd_bfloat16_{only}_b32_fps"] = fps
             det_path.write_text(json.dumps(det))
         elif "bench.py" in name:
@@ -83,12 +92,14 @@ def test_campaign_happy_path_orders_ladder_by_measured_fps(tmp_path,
     # best TWO stem spellings by standalone us (s2d8 1100 < s2d 1300)
     assert s["steps"]["stem_gate"]["candidates"] == ["pallas_s2d8",
                                                      "pallas_s2d"]
-    # deep gate: kernel beats xla_default at both shapes -> joins e2e
+    # deep gate: kernel beats xla_default at both shapes -> joins e2e;
+    # pair2 beats both xla and the singles -> REPLACES pallas_deep
     assert s["steps"]["deep_gate"]["deep_ok"] is True
+    assert s["steps"]["pair2_gate"]["pair2_ok"] is True
     assert s["steps"]["nms_gate"]["blocked_ok"] is True
     lad = json.loads((tmp_path / "runs" / "bench_ladder.json").read_text())
     assert [r["preset"] for r in lad["rungs"]] == [
-        "pallas_deep", "pallas_s2d8", "pallas_s2d", "pallas_max",
+        "pallas_pair2", "pallas_s2d8", "pallas_s2d", "pallas_max",
         "pallas_stem2", "f32"]
     # proven-fallback rungs keep their protective env
     assert lad["rungs"][4]["env"] == {"MILLIEYE_NMS_BLOCKED": "0"}

@@ -48,7 +48,8 @@ def _write_calib(path):
 
 
 _NO_PALLAS = {"pallas_stem": (), "pallas_pair": False,
-              "pallas_precision": "highest", "pallas_variant": "select"}
+              "pallas_precision": "highest", "pallas_variant": "select",
+              "pallas_pairs": "first"}
 
 
 def test_serving_overrides_shape():
@@ -64,17 +65,17 @@ def test_serving_overrides_shape():
                                     "pallas_stem", "pallas_stem2",
                                     "pallas_phase", "pallas_max", "pallas_packed",
                                     "pallas_s2d", "pallas_s2d8",
-                                    "pallas_deep", "s2d",
+                                    "pallas_deep", "pallas_pair2", "s2d",
                                     "bf16_s2d", "int8", "int8_acts"}
     s2d, hi, store, pkw, over = serving_overrides("pallas_stem")
     assert pkw == {"pallas_stem": (0, 2), "pallas_pair": False,
                    "pallas_precision": "highest",
-                   "pallas_variant": "select"}
+                   "pallas_variant": "select", "pallas_pairs": "first"}
     assert over["heads_dtype"] == "bfloat16"
     s2d, hi, store, pkw, over = serving_overrides("pallas_stem2")
     assert pkw == {"pallas_stem": (0, 2), "pallas_pair": True,
                    "pallas_precision": "default",
-                   "pallas_variant": "select"}
+                   "pallas_variant": "select", "pallas_pairs": "first"}
     assert store == "float16"
     s2d, hi, store, pkw, over = serving_overrides("bf16_heads")
     assert s2d == () and hi == (0, 2, 4) and store == "float16"

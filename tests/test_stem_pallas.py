@@ -410,6 +410,60 @@ def test_fused_stem2_s2d_matches_two_stages(shape):
                                atol=0.05, rtol=0.03)
 
 
+@pytest.mark.parametrize("shape", [(1, 40, 40, 8, 16, 24),    # h%32 != 0
+                                   (1, 104, 24, 4, 8, 16),    # stage-4 h
+                                   (1, 20, 20, 6, 8, 12)])    # h < 32
+def test_fused_stem2_s2d_row_padded_and_g2(shape):
+    """Deep-pair generalization: heights off the 32-row grid are padded
+    up to it (the kernel re-zeroes the padded phase rows after stage 0,
+    so the LAST valid output row keeps true zero-halo semantics), and
+    groups0=2 (the c_mid=64 full-M tiling) matches the XLA two-stage
+    composition like 4/8 do."""
+    from millieye_tpu.ops.stem_pallas import fused_stem2_s2d
+
+    n, h, wd, cin, cmid, cout = shape
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (n, h, wd, cin)), jnp.float32)
+    w0 = jnp.asarray(0.3 * rng.standard_normal((3, 3, cin, cmid)),
+                     jnp.float32)
+    b0 = jnp.asarray(0.1 * rng.standard_normal(cmid), jnp.float32)
+    w1 = jnp.asarray(0.3 * rng.standard_normal((3, 3, cmid, cout)),
+                     jnp.float32)
+    b1 = jnp.asarray(0.1 * rng.standard_normal(cout), jnp.float32)
+    ref = _plain(_plain(x, w0, b0), w1, b1)
+    for g0 in (2, 4):
+        got = fused_stem2_s2d(x, w0, b0, w1, b1, interpret=True,
+                              groups0=g0)
+        assert got.shape == (n, h // 4, wd // 4, cout), (got.shape, g0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, err_msg=f"groups0={g0}")
+
+
+def test_fused_stem2_s2d_deep_pair_channels():
+    """Stage-4/6 channel counts (cin 32 -> c_mid 64 -> c_out 128) at a
+    reduced spatial size: the g0=2 tiling the pallas_pair2 preset uses,
+    plus its bf16-scratch default-precision serving spelling."""
+    from millieye_tpu.ops.stem_pallas import fused_stem2_s2d
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 24, 24, 32)), jnp.float32)
+    w0 = jnp.asarray(0.1 * rng.standard_normal((3, 3, 32, 64)),
+                     jnp.float32)
+    b0 = jnp.asarray(0.05 * rng.standard_normal(64), jnp.float32)
+    w1 = jnp.asarray(0.1 * rng.standard_normal((3, 3, 64, 128)),
+                     jnp.float32)
+    b1 = jnp.asarray(0.05 * rng.standard_normal(128), jnp.float32)
+    ref = _plain(_plain(x, w0, b0), w1, b1)
+    got = fused_stem2_s2d(x, w0, b0, w1, b1, interpret=True, groups0=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4)
+    gbf = fused_stem2_s2d(x, w0, b0, w1, b1, interpret=True, groups0=2,
+                          precision="default",
+                          scratch_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(gbf), np.asarray(ref),
+                               atol=0.08, rtol=0.05)
+
+
 def test_serving_preset_pallas_s2d_builds_and_runs():
     """pallas_s2d preset: builds, darknet dispatches the s2d pair kernel
     with bf16 scratches at default precision, and one mode-0 forward on
@@ -480,6 +534,63 @@ def test_serving_preset_pallas_deep_builds_and_runs():
     out = model.apply(params, state, images, maps, jnp.asarray(rb),
                       jnp.ones((1, 4), bool), mode=0)
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_serving_preset_pallas_pair2_builds_and_runs():
+    """pallas_pair2: BOTH stem pairs double-fused (0+2 at the variant's
+    group count, 4+6 at the deep g0=2 tiling). Finite forward, and the
+    darknet forward matches the plain XLA composition at the same
+    folded weights (interpret kernels are exact at HIGHEST; at the
+    preset's DEFAULT precision CPU interpret is still f32, so only
+    storage rounding separates them)."""
+    import numpy as np
+    from millieye_tpu.cli._common import build_fusion, serving_overrides
+    from millieye_tpu.models import Darknet, tiny_yolov3_defs
+
+    s2d, hi, store, pallas_kw, over = serving_overrides("pallas_pair2")
+    assert pallas_kw["pallas_pairs"] == "all"
+    assert pallas_kw["pallas_stem"] == (0, 2, 4, 6)
+
+    class A:
+        model_def = None
+        img_size = 128
+
+    model, params, state = build_fusion(
+        A(), s2d_stages=s2d, hi_prec_stages=hi, hi_prec_store=store,
+        **pallas_kw, conf_thresh=0.05, max_det=16,
+        max_radar=4, pre_nms_top_k=64, nms_use_pallas=False, **over)
+    fp, fs = model.darknet.fold_batchnorm(params["darknet"],
+                                          state["darknet"])
+    S = model.darknet.img_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(1, S, S, 3)), jnp.float32)
+    maps = jnp.asarray(rng.uniform(size=(1, S // 16, S // 16, 3)),
+                       jnp.float32)
+    rb = np.zeros((1, 4, 4), np.float32)
+    rb[..., :2] = rng.uniform(0.1, 0.5, size=(1, 4, 2))
+    rb[..., 2:] = rb[..., :2] + 0.3
+    out = model.apply(dict(params, darknet=fp), dict(state, darknet=fs),
+                      images, maps, jnp.asarray(rb),
+                      jnp.ones((1, 4), bool), mode=0)
+    assert np.isfinite(np.asarray(out["boxes"])).all()
+
+    # darknet-level value check vs the plain XLA graph at f32
+    dn_pair = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S),
+                      img_size=S, pallas_stem_stages=(0, 2, 4, 6),
+                      pallas_stem_pair=True, pallas_stem_pairs="all",
+                      pallas_stem_pair_variant="s2d")
+    dn_ref = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S),
+                     img_size=S)
+    p, s = dn_pair.init(jax.random.PRNGKey(1))
+    fp2, fs2 = dn_pair.fold_batchnorm(p, s)
+    got = dn_pair.apply(fp2, fs2, images)
+    ref = dn_ref.apply(fp2, fs2, images)
+    np.testing.assert_allclose(np.asarray(got["feature_map"]),
+                               np.asarray(ref["feature_map"]),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got["detections"]),
+                               np.asarray(ref["detections"]),
+                               atol=2e-3, rtol=1e-3)
 
 
 def test_pallas_deep_matches_s2d_preset():
