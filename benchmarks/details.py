@@ -191,6 +191,12 @@ def main():
                 ("bfloat16", "pallas_max", (), False, False, (0, 2, 4),
                  "float16", (), "bfloat16", (0, 2), True, "default",
                  "phase", "pallas"),
+                # + stage 4 via the single-stage planar kernel (r3 gate:
+                # 867 vs 1515 us xla_default standalone; stage 6 stays
+                # XLA — 83 us, 11x faster than the kernel at that shape)
+                ("bfloat16", "pallas_max4", (), False, False, (0, 2, 4),
+                 "float16", (), "bfloat16", (0, 2, 4), True, "default",
+                 "phase", "pallas"),
                 # + stage-0 K-packed stem (fused_stem2_packed)
                 ("bfloat16", "pallas_packed", (), False, False, (0, 2, 4),
                  "float16", (), "bfloat16", (0, 2), True, "default",

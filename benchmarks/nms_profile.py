@@ -33,7 +33,7 @@ from jax import lax
 import __graft_entry__ as g  # noqa: F401  (compile cache)
 from benchmarks.backbone_profile import bench_scanned
 from millieye_tpu.ops.boxes import xywh_to_xyxy
-from millieye_tpu.ops.nms import batched_nms, _CLASS_OFFSET
+from millieye_tpu.ops.nms import batched_nms, _class_offset
 
 B, A, C = 32, 2535, 12
 CONF, IOU, MAX_DET, PRE_K = 0.2, 0.5, 200, 512
@@ -66,7 +66,7 @@ def prep_one(p):
     v = jnp.isfinite(top_s)
     class_score = c.max(axis=-1)
     class_pred = jnp.argmax(c, axis=-1).astype(p.dtype)
-    shifted = b + (class_pred * _CLASS_OFFSET)[:, None]
+    shifted = b + (class_pred * _class_offset(b, v))[:, None]
     rows = jnp.concatenate([b, o[:, None], class_score[:, None],
                             class_pred[:, None], c], axis=-1)
     return rows, shifted, v

@@ -89,6 +89,16 @@ SERVING_PRESETS = {
                    "pallas_precision": "default",
                    "pallas_variant": "phase",
                    "roi_impl": "pallas", "roi_precision": "default"},
+    # + stage 4 (104px, cin 32) through the single-stage planar kernel
+    # (r3 chip gate: 867 us vs 1515 us xla_default standalone; stage 6
+    # stays XLA — its 52x52x64->128 shape is MXU-native and xla_default
+    # runs it at 83 us, 11x faster than the planar kernel)
+    "pallas_max4": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                    "hi_store": "float16", "heads_dtype": "bfloat16",
+                    "pallas": (0, 2, 4), "pallas_pair": True,
+                    "pallas_precision": "default",
+                    "pallas_variant": "phase",
+                    "roi_impl": "pallas", "roi_precision": "default"},
     # + stage-0 K-packing (4 row-groups per MXU column, block-diagonal
     # weight tile — ops/stem_pallas.py:fused_stem2_packed)
     "pallas_packed": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),

@@ -587,6 +587,11 @@ def fused_stem_planar(x, w, b, band=None, interpret=False, out_dtype=None,
         out_shape=jax.ShapeDtypeStruct((n, cout, h_eff // 2, w_pad // 2),
                                        store_dtype),
         scratch_shapes=scratch,
+        # the deep stages (cin 64) need ~17.3 MB of scoped stack — over
+        # Mosaic's 16 MB default but nowhere near the chip's 128 MB VMEM
+        # (measured: the s6 52x52x64->128 compile dies by 1.33 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xp, a_mat, b.astype(jnp.float32).reshape(cout, 1), psel)
     return (out[:, :, :h // 2, :w_in // 2].transpose(0, 2, 3, 1)
@@ -1182,6 +1187,8 @@ def fused_stem2_packed(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
                        else (k1, 16, 2 * q), sdtype),         # s1
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xq, a0bd, b0bd, a1, b1c)
     return (out[:, :, :, :w_in // 4].transpose(0, 2, 3, 1)
@@ -1504,6 +1511,8 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
             pltpu.VMEM((16 * c_mid, 9, q), sdtype),            # s1
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xq, a0bd, b0bd, a1s, b1s)
     return (out[:, :, :hv4, :w_in // 4].transpose(0, 2, 3, 1)
