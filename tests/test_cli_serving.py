@@ -63,7 +63,8 @@ def test_serving_overrides_shape():
     assert set(SERVING_PRESETS) == {"f32", "bf16", "bf16_f16stem",
                                     "bf16_f32stem", "bf16_heads",
                                     "pallas_stem", "pallas_stem2",
-                                    "pallas_phase", "pallas_max", "pallas_packed",
+                                    "pallas_phase", "pallas_max",
+                                    "pallas_max4", "pallas_packed",
                                     "pallas_s2d", "pallas_s2d8",
                                     "pallas_deep", "pallas_pair2", "s2d",
                                     "bf16_s2d", "int8", "int8_acts"}

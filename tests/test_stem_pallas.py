@@ -680,3 +680,45 @@ def test_pallas_preset_family_cross_parity():
         b, v = outs[preset]
         np.testing.assert_array_equal(v, ref_v)
         np.testing.assert_allclose(b, ref_b, atol=2e-3)
+
+
+def test_serving_preset_pallas_max4_builds_and_runs():
+    """pallas_max4: the phase pair on stages 0+2, a single-stage planar
+    kernel on stage 4 only (stage 6 stays XLA — its 64-channel input is
+    MXU-native and xla_default outran the kernel 11x in the r3 chip
+    gate); Pallas RoI crops. One mode-0 forward on CPU returns finite
+    boxes."""
+    import numpy as np
+    from millieye_tpu.cli._common import build_fusion, serving_overrides
+
+    s2d, hi, store, pallas_kw, over = serving_overrides("pallas_max4")
+    assert pallas_kw["pallas_stem"] == (0, 2, 4)
+    assert pallas_kw["pallas_pair"]
+    assert pallas_kw["pallas_variant"] == "phase"
+    assert pallas_kw["pallas_pairs"] == "first"
+    assert over["roi_impl"] == "pallas"
+
+    class A:
+        model_def = None
+        img_size = 128
+
+    model, params, state = build_fusion(
+        A(), s2d_stages=s2d, hi_prec_stages=hi, hi_prec_store=store,
+        **pallas_kw, conf_thresh=0.05, max_det=16,
+        max_radar=4, pre_nms_top_k=64, nms_use_pallas=False, **over)
+    assert model.darknet.pallas_stem_stages == (0, 2, 4)
+    fp, fs = model.darknet.fold_batchnorm(params["darknet"],
+                                          state["darknet"])
+    params = dict(params, darknet=fp)
+    state = dict(state, darknet=fs)
+    S = model.darknet.img_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(1, S, S, 3)), jnp.float32)
+    maps = jnp.asarray(rng.uniform(size=(1, S // 16, S // 16, 3)),
+                       jnp.float32)
+    rb = np.zeros((1, 4, 4), np.float32)
+    rb[..., :2] = rng.uniform(0.1, 0.5, size=(1, 4, 2))
+    rb[..., 2:] = rb[..., :2] + 0.3
+    out = model.apply(params, state, images, maps, jnp.asarray(rb),
+                      jnp.ones((1, 4), bool), mode=0)
+    assert np.isfinite(np.asarray(out["boxes"])).all()
