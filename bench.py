@@ -71,7 +71,7 @@ def _warm_one(serving, retry_ok=True):
         return _warm_one(serving, retry_ok=False)
 
 
-def _warm(presets=("pallas_packed", "pallas_max", "pallas_stem2", "f32")):
+def _warm(presets=("pallas_max", "pallas_stem2", "f32")):
     """First preset that builds+compiles wins: the flagship serving
     config normally, the plain-f32 parity config as a driver-proof
     fallback (a Mosaic/libtpu regression must degrade the number, not
@@ -157,8 +157,9 @@ def _ladder():
     # last is fully Mosaic-free (XLA fixpoint NMS, plain XLA convs).
     # benchmarks/r3_campaign.py overwrites the leading rungs with the
     # MEASURED-fastest preset order via runs/bench_ladder.json.
-    rungs = [("pallas_packed", {}, 1500),
-             ("pallas_max", {}, 1500),
+    # Default order = the r3e campaign's MEASURED ladder (pallas_packed
+    # was Mosaic-rejected on-chip and is no longer a default rung).
+    rungs = [("pallas_max", {"MILLIEYE_NMS_BLOCKED": "0"}, 1500),
              ("pallas_stem2", {"MILLIEYE_NMS_BLOCKED": "0"}, 1500),
              ("f32", {"MILLIEYE_NMS_PALLAS": "0"}, 2400)]
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

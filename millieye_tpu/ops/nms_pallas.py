@@ -141,6 +141,20 @@ def _nms_kernel_blocked(thresh_ref, boxes_ref, tboxes_ref, valid_ref,
 
     x1t, y1t, x2t, y2t = tb[0:1, :], tb[1:2, :], tb[2:3, :], tb[3:4, :]
     areat = (x2t - x1t) * (y2t - y1t)              # [1, K]
+
+    # Mosaic rejects broadcasting an OFFSET [1, w] slice up to [Bk, w]
+    # ("vector.broadcast 1x384 -> 128x384 invalid input layout"), so the
+    # row vectors are materialised once at full width as explicit
+    # ones[Bk,1] x row[1,K] MXU dots; the loop then takes plain [Bk, w]
+    # lane slices (offsets are multiples of 128) with no broadcast left.
+    ones = jnp.ones((bk, 1), jnp.float32)
+
+    def _rows(rv):                                 # [1, K] -> [Bk, K]
+        return jax.lax.dot_general(ones, rv, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    x1T, y1T, x2T, y2T = _rows(x1t), _rows(y1t), _rows(x2t), _rows(y2t)
+    areaT = _rows(areat)
     hitS = jnp.zeros((k, 1), jnp.float32)          # sublane hit state
 
     for j in range(nb):
@@ -150,14 +164,14 @@ def _nms_kernel_blocked(thresh_ref, boxes_ref, tboxes_ref, valid_ref,
         y1 = boxes[r0:r0 + bk, 1:2]
         x2 = boxes[r0:r0 + bk, 2:3]
         y2 = boxes[r0:r0 + bk, 3:4]
-        ix1 = jnp.maximum(x1, x1t[:, r0:])
-        iy1 = jnp.maximum(y1, y1t[:, r0:])
-        ix2 = jnp.minimum(x2, x2t[:, r0:])
-        iy2 = jnp.minimum(y2, y2t[:, r0:])
+        ix1 = jnp.maximum(x1, x1T[:, r0:])
+        iy1 = jnp.maximum(y1, y1T[:, r0:])
+        ix2 = jnp.minimum(x2, x2T[:, r0:])
+        iy2 = jnp.minimum(y2, y2T[:, r0:])
         inter = (jnp.maximum(ix2 - ix1, 0.0)
                  * jnp.maximum(iy2 - iy1, 0.0))    # [Bk, w]
         area = (x2 - x1) * (y2 - y1)               # [Bk, 1]
-        iou = inter / (area + areat[:, r0:] - inter + 1e-16)
+        iou = inter / (area + areaT[:, r0:] - inter + 1e-16)
         over = jnp.where(iou > t, 1.0, 0.0)        # [Bk, w] f32
 
         row = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 0)
