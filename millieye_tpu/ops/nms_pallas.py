@@ -116,13 +116,14 @@ def nms_keep_mask_pallas(boxes, valid, iou_thresh, interpret=False):
 # ranked rows, so processing 128-row blocks IN RANK ORDER is exact:
 #
 #   for block j (static unroll):
-#     iou_j   = iou(block rows, all cols >= block start)   [Bk, K-r0]
-#     settle the block's keep bits by fixpoint on its [Bk, Bk] slice
-#       (hit = O @ keep as an MXU [Bk,Bk]x[Bk,1] dot — the state stays
-#        a sublane vector, no per-iteration transpose)
-#     hit(later cols) |= any kept block row with iou > t   (sublane max)
+#     iou_j   = iou(block rows, ALL K cols)                [Bk, K]
+#     settle the block's keep bits by fixpoint on a [Bk, Bk] block-local
+#       IoU (hit = O @ keep as an MXU [Bk,Bk]x[Bk,1] dot — the state
+#       stays a sublane vector, no per-iteration transpose)
+#     hitS += iou_j^T @ keep  (full-width MXU dot; settled rows are
+#       never re-read, so their spurious hits are harmless)
 #
-# Work drops from chain_depth * K^2 to ~K^2/2 + chain_depth * Bk^2 per
+# Work drops from chain_depth * K^2 to ~K^2 + chain_depth * Bk^2 per
 # image, and every iteration touches a 16x smaller matrix. Bit-identical
 # keep set: same IoU arithmetic, same fixpoint operator, same ordering
 # (tests/test_nms.py pins all implementations to the sequential golden).
@@ -132,62 +133,81 @@ def nms_keep_mask_pallas(boxes, valid, iou_thresh, interpret=False):
 def _nms_kernel_blocked(thresh_ref, boxes_ref, tboxes_ref, valid_ref,
                         keep_ref, *, bk):
     """One image, rank-ordered 128-row blocks (see module comment).
-    boxes [K, 4] score-sorted; tboxes [4, K]; valid/keep [K, 1] int32."""
+    boxes [K, 4] score-sorted; tboxes [4, K]; valid/keep [K, 1] int32.
+
+    Every vector pattern here is one the whole-matrix kernel above has
+    already proven on-chip: 1-D int32 lane-vector while_loop carries,
+    ``max(o * keep[None, :], axis=1)`` suppression reduces, [Bk, 1] ->
+    [Bk, Bk] lane broadcasts of offset-free values, and offset REF
+    loads/stores. Two on-chip traps shaped this spelling (interpret
+    mode was exact every time, so both only show on the real chip):
+
+    * Mosaic rejects broadcasting an OFFSET [1, w] SLICE of a loaded
+      value up to [Bk, w] ("vector.broadcast 1x384 -> 128x384 invalid
+      input layout") — so per-block row vectors come from fresh ref
+      loads (offset handled by the load, value layout canonical);
+    * materialising those rows via ones[Bk,1] x row[1,Bk] MXU dots
+      instead silently bf16-rounds the f32 coordinates (in-kernel dots
+      run at DEFAULT precision) and flipped ~1% of the keep bits.
+
+    The block-pair overlap matrices cost nb^2/2 extra [Bk, Bk] IoU
+    evaluations ~= the one-shot kernel's single [K, K] pass, and ALL
+    running state lives in 1-D int32 lane vectors.
+    """
     t = thresh_ref[0]
-    boxes = boxes_ref[0]                           # [K, 4]
-    tb = tboxes_ref[0]                             # [4, K]
-    k = boxes.shape[0]
+    k = boxes_ref.shape[1]
     nb = k // bk
 
-    x1t, y1t, x2t, y2t = tb[0:1, :], tb[1:2, :], tb[2:3, :], tb[3:4, :]
-    areat = (x2t - x1t) * (y2t - y1t)              # [1, K]
+    rowB = lax.broadcasted_iota(jnp.int32, (bk, bk), 0)
+    colB = lax.broadcasted_iota(jnp.int32, (bk, bk), 1)
 
-    # Mosaic rejects broadcasting an OFFSET [1, w] slice up to [Bk, w]
-    # ("vector.broadcast 1x384 -> 128x384 invalid input layout"), so the
-    # row vectors are materialised once at full width as explicit
-    # ones[Bk,1] x row[1,K] MXU dots; the loop then takes plain [Bk, w]
-    # lane slices (offsets are multiples of 128) with no broadcast left.
-    ones = jnp.ones((bk, 1), jnp.float32)
+    # column-side operands of every block: [1, Bk] rows straight off a
+    # REF load — offset-free values, so the [1, Bk] -> [Bk, Bk]
+    # broadcast inside over_vs is exactly the whole-matrix kernel's
+    # proven pattern. (Materialising these via ones[Bk,1] x row[1,Bk]
+    # MXU dots instead silently bf16-rounds the f32 coordinates: TPU
+    # dots run at DEFAULT precision in-kernel, which flipped ~1% of
+    # keep bits on-chip while interpret mode stayed exact.)
+    cols = []
+    for jp in range(nb):
+        tbj = tboxes_ref[0, :, jp * bk:(jp + 1) * bk]    # [4, Bk]
+        x1B, y1B, x2B, y2B = (tbj[0:1], tbj[1:2], tbj[2:3], tbj[3:4])
+        cols.append((x1B, y1B, x2B, y2B, (x2B - x1B) * (y2B - y1B)))
 
-    def _rows(rv):                                 # [1, K] -> [Bk, K]
-        return jax.lax.dot_general(ones, rv, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    x1T, y1T, x2T, y2T = _rows(x1t), _rows(y1t), _rows(x2t), _rows(y2t)
-    areaT = _rows(areat)
-    hitS = jnp.zeros((k, 1), jnp.float32)          # sublane hit state
-
+    keeps = []
     for j in range(nb):
         r0 = j * bk
-        w = k - r0
-        x1 = boxes[r0:r0 + bk, 0:1]
-        y1 = boxes[r0:r0 + bk, 1:2]
-        x2 = boxes[r0:r0 + bk, 2:3]
-        y2 = boxes[r0:r0 + bk, 3:4]
-        ix1 = jnp.maximum(x1, x1T[:, r0:])
-        iy1 = jnp.maximum(y1, y1T[:, r0:])
-        ix2 = jnp.minimum(x2, x2T[:, r0:])
-        iy2 = jnp.minimum(y2, y2T[:, r0:])
-        inter = (jnp.maximum(ix2 - ix1, 0.0)
-                 * jnp.maximum(iy2 - iy1, 0.0))    # [Bk, w]
+        blk = boxes_ref[0, r0:r0 + bk]             # [Bk, 4] ref load
+        x1, y1, x2, y2 = (blk[:, 0:1], blk[:, 1:2],
+                          blk[:, 2:3], blk[:, 3:4])
         area = (x2 - x1) * (y2 - y1)               # [Bk, 1]
-        iou = inter / (area + areaT[:, r0:] - inter + 1e-16)
-        over = jnp.where(iou > t, 1.0, 0.0)        # [Bk, w] f32
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 1)
-        o_blk = jnp.where(col < row, over[:, :bk], 0.0)
+        def over_vs(jp):
+            """[Bk, Bk] int32: IoU(block-j row, block-jp col) > t.
+            Same arithmetic on the same values as the golden, so the
+            keep set stays bit-equal."""
+            x1B, y1B, x2B, y2B, areaB = cols[jp]
+            inter = (jnp.maximum(jnp.minimum(x2, x2B)
+                                 - jnp.maximum(x1, x1B), 0.0)
+                     * jnp.maximum(jnp.minimum(y2, y2B)
+                                   - jnp.maximum(y1, y1B), 0.0))
+            iou = inter / (area + areaB - inter + 1e-16)
+            return jnp.where(iou > t, 1, 0).astype(jnp.int32)
 
-        validS = valid_ref[0, r0:r0 + bk].astype(jnp.float32)
-        alive = validS * jnp.where(hitS[r0:r0 + bk] > 0, 0.0, 1.0)
+        # suppression from already-settled blocks: one [Bk, Bk] pass
+        # per earlier block against its final keep vector
+        hit = jnp.zeros((bk,), jnp.int32)
+        for jp in range(j):
+            hit = jnp.maximum(
+                hit, jnp.max(over_vs(jp) * keeps[jp][None, :], axis=1))
+        valid_j = valid_ref[0, r0:r0 + bk, 0]      # [Bk] int32
+        alive = valid_j * (1 - hit)
+
+        o_blk = over_vs(j) * jnp.where(colB < rowB, 1, 0)
 
         def suppress(keep):
-            # hit = O @ keep: the state stays a [Bk, 1] sublane vector —
-            # no lane<->sublane relayout anywhere in the fixpoint
-            hit = jax.lax.dot_general(
-                o_blk, keep, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return alive * jnp.where(hit > 0, 0.0, 1.0)
+            h = jnp.max(o_blk * keep[None, :], axis=1)
+            return alive * (1 - h)
 
         def cond(state):
             keep, prev, it = state
@@ -201,15 +221,8 @@ def _nms_kernel_blocked(thresh_ref, boxes_ref, tboxes_ref, valid_ref,
         init = suppress(alive)
         keep_blk, _, _ = jax.lax.while_loop(cond, body,
                                             (init, alive, jnp.int32(0)))
-        keep_ref[0, r0:r0 + bk] = keep_blk.astype(jnp.int32)
-
-        if w > bk:
-            # forward application as a TRANSPOSED dot: hit over later
-            # rows = over[:, bk:]^T @ keep — again sublane-space only
-            upd = jax.lax.dot_general(
-                over[:, bk:], keep_blk, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # [w-bk, 1]
-            hitS = hitS + jnp.pad(upd, ((r0 + bk, 0), (0, 0)))
+        keeps.append(keep_blk)
+        keep_ref[0, r0:r0 + bk, 0] = keep_blk
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thresh", "interpret"))
