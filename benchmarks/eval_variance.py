@@ -53,7 +53,8 @@ def main(argv=None):
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         params, state = model.init(jax.random.PRNGKey(0))
-        restored = load_checkpoint(args.ckpt,
+        from millieye_tpu.io.artifacts import resolve_checkpoint
+        restored = load_checkpoint(resolve_checkpoint(args.ckpt),
                                    {"params": params, "state": state})
         params, state = restored["params"], restored["state"]
         fp, fs = dn.fold_batchnorm(params["darknet"], state["darknet"])

@@ -73,7 +73,9 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         params, state = base.init(jax.random.PRNGKey(0))
-        restored = load_checkpoint(ckpt, {"params": params, "state": state})
+        from millieye_tpu.io.artifacts import resolve_checkpoint
+        restored = load_checkpoint(resolve_checkpoint(ckpt),
+                                   {"params": params, "state": state})
         params, state = restored["params"], restored["state"]
         fp, fs = base_dn.fold_batchnorm(params["darknet"], state["darknet"])
 

@@ -1,0 +1,48 @@
+"""Tracked fallbacks for benchmark checkpoints.
+
+``runs/`` is gitignored and has been wiped between sessions twice
+(round 3), each time costing a full synthetic_e2e re-train before
+``quantized_eval``/``eval_variance`` could run again. Stage-final
+checkpoints are therefore mirrored into ``artifacts/`` (tracked) and
+benchmark entry points resolve their checkpoint argument through
+:func:`resolve_checkpoint`: the fresh ``runs/`` copy wins when present,
+the committed mirror keeps the serving-accuracy pipeline runnable on a
+clean checkout.
+
+Reference role: the released .pth checkpoints the reference evaluates
+with (``module3_our_dataset/test_fusion.py:119-211`` loads them from
+``checkpoints/``, a tracked directory there too).
+"""
+from __future__ import annotations
+
+import os
+
+REPO_ROOT = os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
+ARTIFACTS = os.path.join(REPO_ROOT, "artifacts")
+
+
+def resolve_checkpoint(path):
+    """Return ``path`` if it exists, else the ``artifacts/`` mirror.
+
+    Raises FileNotFoundError naming BOTH candidates (and the command
+    that regenerates them) when neither exists, instead of the bare
+    np.load error the wiped-runs failure used to surface.
+    """
+    if os.path.exists(path):
+        return path
+    alt = os.path.join(ARTIFACTS, os.path.basename(path))
+    if os.path.exists(alt):
+        return alt
+    raise FileNotFoundError(
+        f"checkpoint not found: {path} (no tracked mirror {alt} either) "
+        "— regenerate with `python benchmarks/synthetic_e2e.py`")
+
+
+def mirror_checkpoint(path):
+    """Copy a checkpoint into ``artifacts/`` (returns the mirror path)."""
+    import shutil
+    os.makedirs(ARTIFACTS, exist_ok=True)
+    dst = os.path.join(ARTIFACTS, os.path.basename(path))
+    shutil.copy2(path, dst)
+    return dst
