@@ -209,11 +209,12 @@ def main(quick=False, out_path="SYNTH_RESULTS.json",
                       lambda b: fusion_device_batch(b, IMG))
         save_checkpoint(stage_ckpt("stage3"),
                         {"params": ts3.params, "state": ts3.state})
-        # runs/ is gitignored and has been wiped between sessions (twice,
-        # round 3) — mirror the serving-eval checkpoint somewhere tracked
-        from millieye_tpu.io.artifacts import mirror_checkpoint
-        print("mirrored:", mirror_checkpoint(stage_ckpt("stage3")),
-              flush=True)
+    # runs/ is gitignored and has been wiped between sessions (twice,
+    # round 3) — mirror the serving-eval checkpoint somewhere tracked.
+    # Unconditional (also on --resume) so the tracked copy never goes
+    # stale relative to runs/synthetic/stage3_final.npz.
+    from millieye_tpu.io.artifacts import mirror_checkpoint
+    print("mirrored:", mirror_checkpoint(stage_ckpt("stage3")), flush=True)
     report["stage3"] = {"steps": int(ts3.step),
                         "train_secs": round(time.time() - t0, 1)}
 

@@ -25,6 +25,13 @@ ARTIFACTS = os.path.join(REPO_ROOT, "artifacts")
 def resolve_checkpoint(path):
     """Return ``path`` if it exists, else the ``artifacts/`` mirror.
 
+    The mirror fallback is restricted to the DEFAULT ``runs/synthetic/``
+    checkpoints: a missing experiment path (e.g. a typo'd
+    ``runs/exp_ablation/stage3_final.npz``) must fail loudly rather than
+    silently scoring the stale committed mirror under the wrong name.
+    When the mirror is substituted, a notice is printed so the numbers
+    can't be mis-attributed.
+
     Raises FileNotFoundError naming BOTH candidates (and the command
     that regenerates them) when neither exists, instead of the bare
     np.load error the wiped-runs failure used to surface.
@@ -32,8 +39,16 @@ def resolve_checkpoint(path):
     if os.path.exists(path):
         return path
     alt = os.path.join(ARTIFACTS, os.path.basename(path))
-    if os.path.exists(alt):
+    default_dir = os.path.join("runs", "synthetic")
+    is_default = os.path.normpath(os.path.dirname(path)).endswith(default_dir)
+    if is_default and os.path.exists(alt):
+        print(f"[artifacts] checkpoint {path} missing — "
+              f"using tracked mirror {alt}", flush=True)
         return alt
+    if not is_default:
+        raise FileNotFoundError(
+            f"checkpoint not found: {path} (non-default path — the "
+            f"artifacts/ mirror fallback only applies to {default_dir}/)")
     raise FileNotFoundError(
         f"checkpoint not found: {path} (no tracked mirror {alt} either) "
         "— regenerate with `python benchmarks/synthetic_e2e.py`")

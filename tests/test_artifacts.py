@@ -23,22 +23,36 @@ def test_existing_path_wins(tmp_path, monkeypatch):
     assert artifacts.resolve_checkpoint(str(p)) == str(p)
 
 
-def test_falls_back_to_mirror(tmp_path, monkeypatch):
+def test_falls_back_to_mirror(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(artifacts, "ARTIFACTS", str(tmp_path / "artifacts"))
     os.makedirs(artifacts.ARTIFACTS)
     mirror = tmp_path / "artifacts" / "stage3_final.npz"
     mirror.write_bytes(b"y")
-    got = artifacts.resolve_checkpoint("runs/definitely/missing/"
-                                       "stage3_final.npz")
+    # fallback applies to the DEFAULT runs/synthetic/ location only
+    got = artifacts.resolve_checkpoint(
+        str(tmp_path / "runs" / "synthetic" / "stage3_final.npz"))
     assert got == str(mirror)
+    # and it says so, so numbers can't be mis-attributed
+    assert "using tracked mirror" in capsys.readouterr().out
+
+
+def test_non_default_path_never_falls_back(tmp_path, monkeypatch):
+    # a typo'd experiment path must NOT silently score the stale mirror
+    monkeypatch.setattr(artifacts, "ARTIFACTS", str(tmp_path / "artifacts"))
+    os.makedirs(artifacts.ARTIFACTS)
+    (tmp_path / "artifacts" / "stage3_final.npz").write_bytes(b"y")
+    with pytest.raises(FileNotFoundError) as e:
+        artifacts.resolve_checkpoint("runs/exp_ablation/stage3_final.npz")
+    assert "non-default path" in str(e.value)
 
 
 def test_missing_everywhere_names_both(tmp_path, monkeypatch):
     monkeypatch.setattr(artifacts, "ARTIFACTS", str(tmp_path / "artifacts"))
+    missing = str(tmp_path / "runs" / "synthetic" / "stage3_final.npz")
     with pytest.raises(FileNotFoundError) as e:
-        artifacts.resolve_checkpoint("runs/nope/stage3_final.npz")
+        artifacts.resolve_checkpoint(missing)
     msg = str(e.value)
-    assert "runs/nope/stage3_final.npz" in msg
+    assert missing in msg
     assert "synthetic_e2e" in msg          # regeneration hint
 
 
@@ -50,6 +64,6 @@ def test_mirror_roundtrip(tmp_path, monkeypatch):
     assert dst == str(tmp_path / "artifacts" / "stage3_final.npz")
     with open(dst, "rb") as f:
         assert f.read() == b"payload"
-    # and the resolver finds the mirror by basename
+    # and the resolver finds the mirror by basename (default path only)
     assert artifacts.resolve_checkpoint(
-        str(tmp_path / "missing" / "stage3_final.npz")) == dst
+        str(tmp_path / "runs" / "synthetic" / "stage3_final.npz")) == dst
