@@ -72,6 +72,20 @@ def prep_one(p):
     return rows, shifted, v
 
 
+def prep_new_one(p):
+    """The round-4 batched_nms prep (ops/nms.py): ONE [K, 5+C] row
+    gather; row assembly deferred to after suppression."""
+    obj = p[:, 4]
+    score = jnp.where(obj >= CONF, obj, -jnp.inf)
+    top_s, idx = lax.top_k(score, PRE_K)
+    rows_k = p[idx]
+    b = xywh_to_xyxy(rows_k[:, :4])
+    v = jnp.isfinite(top_s)
+    class_pred = jnp.argmax(rows_k[:, 5:], axis=-1).astype(p.dtype)
+    shifted = b + (class_pred * _class_offset(b, v))[:, None]
+    return rows_k, shifted, v
+
+
 def main():
     pred = make_pred(np.random.default_rng(0))
 
@@ -80,12 +94,18 @@ def main():
         return lax.top_k(score, PRE_K)[0]
 
     def prep(p):
+        # round-3 spelling kept for the before/after record: full-row
+        # assembly for EVERY candidate before suppression
         rows, shifted, v = jax.vmap(prep_one)(p)
+        return rows.sum() + shifted.sum()
+
+    def prep_new(p):
+        rows, shifted, v = jax.vmap(prep_new_one)(p)
         return rows.sum() + shifted.sum()
 
     def keepmask(p):
         from millieye_tpu.ops.nms_pallas import nms_keep_mask_pallas
-        rows, shifted, v = jax.vmap(prep_one)(p)
+        rows, shifted, v = jax.vmap(prep_new_one)(p)
         keep = nms_keep_mask_pallas(shifted, v, IOU)
         return keep.sum() + rows.sum()
 
@@ -94,9 +114,33 @@ def main():
                                  pre_top_k=PRE_K)
         return det.sum()
 
+    def full_k256(p):
+        det, valid = batched_nms(p, CONF, IOU, max_det=MAX_DET,
+                                 pre_top_k=256)
+        return det.sum()
+
+    def full_blocked(p):
+        det, valid = batched_nms(p, CONF, IOU, max_det=MAX_DET,
+                                 pre_top_k=PRE_K, use_blocked=True)
+        return det.sum()
+
+    def full_xla(p):
+        det, valid = batched_nms(p, CONF, IOU, max_det=MAX_DET,
+                                 pre_top_k=PRE_K, use_pallas=False)
+        return det.sum()
+
+    # NOTE on attribution: each row times a WHOLE graph; "prefix" rows
+    # (topk/prep/keepmask) are separate programs whose DCE/fusion can
+    # differ from the full graph, so the slices need not add up exactly
+    # (the round-3 record's prep+keepmask > full). Deltas between FULL
+    # variants (full vs full_k256/full_blocked/full_xla) are the
+    # decision-grade numbers; prefix rows are directional only.
     results = {}
     for name, fn in (("topk", topk), ("prep", prep),
-                     ("keepmask", keepmask), ("full", full)):
+                     ("prep_new", prep_new), ("keepmask", keepmask),
+                     ("full", full), ("full_k256", full_k256),
+                     ("full_blocked", full_blocked),
+                     ("full_xla", full_xla)):
         t = bench_scanned(fn, pred, k=20)
         key = f"nms_profile_b{B}_{name}_us"
         results[key] = round(t * 1e6, 1)

@@ -166,24 +166,23 @@ def batched_nms(
                       and os.environ.get("MILLIEYE_NMS_PALLAS", "1") != "0")
 
     def prep(p):
-        xyxy = xywh_to_xyxy(p[:, :4])
+        # ONE [K, 5+C] row gather at the top-k indices; everything the
+        # suppression kernel needs (boxes, class offset) is computed on
+        # the K gathered rows. Row ASSEMBLY for the [max_det, 7+C]
+        # output happens AFTER suppression (late assembly): the old
+        # spelling built+scattered [K, 7+C] rows for every candidate,
+        # which profiled at ~0.5 ms/b32 — half the NMS block.
         obj = p[:, 4]
-        cls = p[:, 5:]
         score = jnp.where(obj >= conf_thresh, obj, -jnp.inf)
         top_s, idx = lax.top_k(score, min(pre_top_k, p.shape[0]))
-        b = xyxy[idx]
-        c = cls[idx]
-        o = obj[idx]
+        rows_k = p[idx]                                  # [K, 5+C]
+        b = xywh_to_xyxy(rows_k[:, :4])
         v = jnp.isfinite(top_s)
-        class_score = c.max(axis=-1)
-        class_pred = jnp.argmax(c, axis=-1).astype(p.dtype)
+        class_pred = jnp.argmax(rows_k[:, 5:], axis=-1).astype(p.dtype)
         shifted = b + (class_pred * _class_offset(b, v))[:, None]
-        rows = jnp.concatenate(
-            [b, o[:, None], class_score[:, None], class_pred[:, None], c], axis=-1
-        )
-        return rows, shifted, v
+        return rows_k, b, class_pred, shifted, v
 
-    rows, shifted, v = jax.vmap(prep)(pred)
+    rows_k, bxyxy, class_pred, shifted, v = jax.vmap(prep)(pred)
     if use_pallas:
         from millieye_tpu.ops.nms_pallas import (
             nms_keep_mask_pallas, nms_keep_mask_pallas_blocked)
@@ -206,7 +205,27 @@ def batched_nms(
         keep = jax.vmap(
             lambda b, vv: nms_keep_mask(b, vv, iou_thresh, plus_one=False)
         )(shifted, v)
-    return jax.vmap(lambda r, kp: _compact(r, kp, max_det))(rows, keep)
+
+    def assemble(rk, bx, cp, kp):
+        # compact the kept CANDIDATE POSITIONS first ([K] int32 scatter),
+        # then gather + assemble only the max_det surviving rows
+        rank = jnp.cumsum(kp) - 1
+        ok = kp & (rank < max_det)
+        dst = jnp.where(ok, rank, max_det)               # OOB rows drop
+        sel = jnp.zeros((max_det,), jnp.int32).at[dst].set(
+            jnp.arange(kp.shape[0]), mode="drop")
+        valid_out = jnp.zeros((max_det,), bool).at[dst].set(ok, mode="drop")
+        rd = rk[sel]                                     # [max_det, 5+C]
+        c = rd[:, 5:]
+        out = jnp.concatenate(
+            [bx[sel], rd[:, 4:5], c.max(axis=-1)[:, None], cp[sel][:, None],
+             c], axis=-1)
+        # invalid rows gathered row sel=0's data: zero them (the compact
+        # scatter left them zero)
+        out = jnp.where(valid_out[:, None], out, 0.0)
+        return out, valid_out
+
+    return jax.vmap(assemble)(rows_k, bxyxy, class_pred, keep)
 
 
 @functools.partial(
