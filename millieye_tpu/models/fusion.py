@@ -99,6 +99,13 @@ class FusionConfig:
                                          # dots — the bf16-heads rounding
                                          # class), "split" (~2^-16), or
                                          # "highest" (exact f32)
+    roi_reduce: str = "dot"              # pallas RoI segmented w-sum:
+                                         # "dot" (S-matrix MXU matmul) or
+                                         # "vpu" (minor-split + sublane
+                                         # sum — skips half the img
+                                         # kernel's MXU passes; same
+                                         # bf16-rounded products at
+                                         # roi_precision="default")
     weights_int8: bool = False           # serving: backbone conv weights
                                          # stored int8 (per-out-channel
                                          # scales), dequant fused in-graph
@@ -272,15 +279,19 @@ class FusionNetwork:
             # "default": one-program-per-image bf16-operand kernel (the
             # f32-operand VMEM residency exceeds the 16 MB scoped budget
             # at b32); split/highest: the grid-(b,p) f32 form
-            ps_fn = (ps_roi_align_pallas_padded_g1
-                     if cfg.roi_precision == "default"
-                     else ps_roi_align_pallas_padded)
-            img_crop = ps_fn(
-                roi_score_map, all_xyxy, (7, 7),
-                1.0 / 16, sampling_max=smax,
-                c_out=roi_c_out, precision=cfg.roi_precision,
-                interpret=interp,
-            ).astype(hd).reshape(b_sz * n_all, 7, 7, -1)
+            if cfg.roi_precision == "default":
+                img_crop = ps_roi_align_pallas_padded_g1(
+                    roi_score_map, all_xyxy, (7, 7),
+                    1.0 / 16, sampling_max=smax,
+                    c_out=roi_c_out, precision=cfg.roi_precision,
+                    interpret=interp, reduce=cfg.roi_reduce)
+            else:
+                img_crop = ps_roi_align_pallas_padded(
+                    roi_score_map, all_xyxy, (7, 7),
+                    1.0 / 16, sampling_max=smax,
+                    c_out=roi_c_out, precision=cfg.roi_precision,
+                    interpret=interp)
+            img_crop = img_crop.astype(hd).reshape(b_sz * n_all, 7, 7, -1)
             radar_crop = roi_align_pallas(
                 radar_score_map.astype(jnp.float32), all_xyxy, (7, 7),
                 1.0 / 16, sampling_max=smax,

@@ -214,19 +214,46 @@ def ps_roi_align_pallas(features, boxes, output_size=(7, 7),
             .transpose(0, 2, 1, 4, 3))                     # [B, N, P, Q, U]
 
 
+def _roi_kernel_radar_packed(by_ref, feat_ref, bxe_ref, s_ref, o_ref, *,
+                             n_p, precision):
+    """One image, ALL bin rows in one dot chain (the radar features are
+    bin-row independent, so the seven per-p dots M-pack into one —
+    fewer, fuller MXU dispatches). by [P*N, HS]; feat [HS, K];
+    bxe [N, K]; S [K, OL]; out [P, N, OL]."""
+    fv = feat_ref[...]
+    t = _dot(by_ref[...], fv, precision)                 # [P*N, K]
+    n, k = bxe_ref.shape
+    prod = (t.reshape(n_p, n, k) * bxe_ref[...][None]).astype(
+        s_ref.dtype)
+    out = _dot(prod.reshape(n_p * n, k), s_ref[...],
+               "split_rhs_exact" if precision == "split" else precision)
+    o_ref[...] = out.reshape(n_p, n, out.shape[-1])
+
+
 @functools.partial(jax.jit,
                    static_argnames=("output_size", "spatial_scale",
                                     "sampling_ratio", "sampling_max",
-                                    "precision", "interpret"))
+                                    "precision", "interpret", "pack_p"))
 def roi_align_pallas(features, boxes, output_size=(7, 7),
                      spatial_scale=1.0 / 16, sampling_ratio=-1,
-                     sampling_max=4, precision="default", interpret=False):
+                     sampling_max=4, precision="default", interpret=False,
+                     pack_p=True):
     """Drop-in for ``roi_align_batched`` (tv0.6 aligned=False numerics):
     features [B, H, W, C], boxes [B, N, 4] -> [B, N, ph, pw, C] f32.
 
     The bin-independent features are replicated across the q bins on the
     XLA side (``F_rep [H, (w, c, q)]`` major-to-minor) so the replication
-    rides stage 1's dot instead of costing VMEM copies."""
+    rides stage 1's dot instead of costing VMEM copies.
+
+    ``pack_p`` (default): all ``ph`` bin rows run as ONE [P*N, HS] dot
+    against the shared feature matrix instead of a per-p loop — fewer,
+    fuller MXU dispatches. At precision="default" the operands ship
+    bf16 (DEFAULT dots round inputs to bf16 on the MXU regardless;
+    interpret-mode results round with them), halving the ~100 MB/b32
+    HBM round trip of the replicated ``bxe``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     b, h, w, c = features.shape
     ph, pw = output_size
     n = boxes.shape[1]
@@ -235,23 +262,50 @@ def roi_align_pallas(features, boxes, output_size=(7, 7),
     k = w * c * pw
     k_pad = _round_up(k, 128)
     hs = _round_up(h, 8)
+    od = jnp.bfloat16 if precision == "default" else jnp.float32
 
-    # F_rep: [B, 1, Hs, (w, c, q)] — a pure minor-append broadcast of the
+    # F_rep: [B, Hs, (w, c, q)] — a pure minor-append broadcast of the
     # natural [B, H, W, C] layout, no transpose at all
     frep = jnp.broadcast_to(
-        features.astype(jnp.float32)[..., None],
-        (b, h, w, c, pw)).reshape(b, 1, h, k)
-    frep = jnp.pad(frep, ((0, 0), (0, 0), (0, hs - h), (0, k_pad - k)))
-    byp = jnp.pad(by.astype(jnp.float32).transpose(0, 2, 1, 3),
-                  ((0, 0), (0, 0), (0, 0), (0, hs - h)))
+        features.astype(od)[..., None], (b, h, w, c, pw)).reshape(b, h, k)
+    frep = jnp.pad(frep, ((0, 0), (0, hs - h), (0, k_pad - k)))
+    byp = jnp.pad(by.astype(od).transpose(0, 2, 1, 3),
+                  ((0, 0), (0, 0), (0, 0), (0, hs - h)))   # [B, P, N, HS]
     bxe = jnp.broadcast_to(
-        bx.astype(jnp.float32).transpose(0, 1, 3, 2)[:, :, :, None, :],
+        bx.astype(od).transpose(0, 1, 3, 2)[:, :, :, None, :],
         (b, n, w, c, pw)).reshape(b, n, k)
     bxe = jnp.pad(bxe, ((0, 0), (0, 0), (0, k_pad - k)))
-    s_mat = _sum_matrix(w, c * pw, k_pad)
+    s_mat = _sum_matrix(w, c * pw, k_pad).astype(od)
 
-    out = _launch(byp, frep, bxe, s_mat, ph, c * pw, False, precision,
-                  interpret)                               # [B, P, N, C*Q]
+    if not pack_p:
+        out = _launch(byp, frep[:, None], bxe, s_mat, ph, c * pw, False,
+                      precision, interpret)                # [B, P, N, C*Q]
+        return (out.reshape(b, ph, n, c, pw)
+                .transpose(0, 2, 1, 4, 3))                 # [B, N, P, Q, C]
+
+    kernel = functools.partial(_roi_kernel_radar_packed, n_p=ph,
+                               precision=precision)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, ph * n, hs), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, hs, k_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, n, k_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, ph, n, c * pw),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, ph, n, c * pw), jnp.float32),
+        # t [P*N, K] f32 (~12.5 MB at the serving point) tops the 16 MB
+        # scoped default with the operands resident; the chip has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(byp.reshape(b, ph * n, hs), frep, bxe, s_mat)
     return (out.reshape(b, ph, n, c, pw)
             .transpose(0, 2, 1, 4, 3))                     # [B, N, P, Q, C]
 
@@ -345,30 +399,48 @@ def ps_roi_align_pallas_padded(features, boxes, output_size=(7, 7),
 
 
 def _roi_kernel_sliced(by_ref, feat_ref, bxe_ref, s_ref, o_ref, *, n_p,
-                       block, precision):
+                       block, precision, reduce="dot"):
     """One image, padded-channel layout. feat [H, W, n_p*block]; per p a
     static lane-block slice + merge feeds the same dot/mult/dot chain.
     by [P, N, H]; bxe [N, W*block]; S [W*block, OL]; out [P, N, OL].
     Operands may arrive bf16 (the "default" VMEM budget — bit-identical
-    to f32 operands under DEFAULT dots); accumulation stays f32."""
+    to f32 operands under DEFAULT dots); accumulation stays f32.
+
+    ``reduce``: how the segmented w-sum runs. "dot" = the S-matrix MXU
+    matmul (52 column passes per (image, p) at K=W*block); "vpu" = a
+    [N, W, block] minor-split + sublane-axis ``jnp.sum`` on the VPU —
+    the sum has only W=26 terms per lane, so it is ~50x cheaper than
+    the matmul's pass count, and the MXU time halves. In "default"
+    precision the products are pre-rounded to bf16 so the value set
+    matches the DEFAULT S-dot exactly (same products, f32 accumulate;
+    only the accumulation ORDER differs)."""
     h, w, _ = feat_ref.shape
     bxe = bxe_ref[...]
     s_mat = s_ref[...]
+    ol = o_ref.shape[-1]
     for p in range(n_p):
         fv = feat_ref[:, :, p * block:(p + 1) * block].reshape(
             h, w * block)
         t = _dot(by_ref[p], fv, precision)
-        prod = (t * bxe).astype(s_mat.dtype)
-        o_ref[p] = _dot(prod, s_mat,
-                        "split_rhs_exact" if precision == "split"
-                        else precision)
+        if reduce == "vpu":
+            prod = t * bxe
+            if precision == "default":
+                prod = prod.astype(jnp.bfloat16).astype(jnp.float32)
+            n = prod.shape[0]
+            red = prod.reshape(n, w, block).sum(axis=1)    # [N, block]
+            o_ref[p] = red[:, :ol]
+        else:
+            prod = (t * bxe).astype(s_mat.dtype)
+            o_ref[p] = _dot(prod, s_mat,
+                            "split_rhs_exact" if precision == "split"
+                            else precision)
 
 
 def ps_roi_align_pallas_padded_g1(features, boxes, output_size=(7, 7),
                                   spatial_scale=1.0 / 16,
                                   sampling_ratio=-1, sampling_max=4,
                                   c_out=None, precision="default",
-                                  interpret=False):
+                                  interpret=False, reduce="dot"):
     """``ps_roi_align_pallas_padded`` with ONE program per image (the
     per-image blocks — bxe, S — provably load once; the per-bin-row
     feature extraction is a static lane-block slice in VMEM).
@@ -403,7 +475,7 @@ def ps_roi_align_pallas_padded_g1(features, boxes, output_size=(7, 7),
                 ((0, block - ol), (0, 0)))).astype(od)
 
     kernel = functools.partial(_roi_kernel_sliced, n_p=ph, block=block,
-                               precision=precision)
+                               precision=precision, reduce=reduce)
     out = pl.pallas_call(
         kernel,
         grid=(b,),

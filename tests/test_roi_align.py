@@ -308,6 +308,40 @@ def test_pallas_ps_roi_padded_channels(rng):
         jnp.asarray(fpad), boxes, c_out=c_out, precision="highest",
         interpret=True))
     np.testing.assert_allclose(got1, want, rtol=1e-4, atol=1e-5)
+    # the VPU segmented-reduce spelling replaces the S-matrix matmul
+    # with a minor-split + sublane sum — identical math at "highest"
+    gotv = np.asarray(ps_roi_align_pallas_padded_g1(
+        jnp.asarray(fpad), boxes, c_out=c_out, precision="highest",
+        interpret=True, reduce="vpu"))
+    np.testing.assert_allclose(gotv, want, rtol=1e-4, atol=1e-5)
+    # "default" pre-rounds the products to bf16 (the S-dot's operand
+    # rounding class) — agreement at bf16 tolerance
+    gotd = np.asarray(ps_roi_align_pallas_padded_g1(
+        jnp.asarray(fpad), boxes, c_out=c_out, precision="default",
+        interpret=True, reduce="vpu"))
+    np.testing.assert_allclose(gotd, want, rtol=3e-2, atol=3e-2)
+
+
+def test_pallas_radar_roi_pack_p_matches_loop(rng):
+    """roi_align_pallas pack_p=True (one [P*N, H] dot chain) == the
+    per-p loop kernel at every precision rung."""
+    from millieye_tpu.ops.roi_pallas import roi_align_pallas
+
+    b, n, c = 2, 8, 10
+    feats = jnp.asarray(rng.standard_normal((b, 13, 13, c)), jnp.float32)
+    boxes = np.zeros((b, n, 4), np.float32)
+    xy = rng.uniform(0, 150, size=(b, n, 2))
+    boxes[..., :2] = xy
+    boxes[..., 2:] = xy + rng.uniform(8, 100, size=(b, n, 2))
+    boxes = jnp.asarray(boxes)
+    for prec, tol in (("highest", 1e-5), ("split", 1e-3),
+                      ("default", 3e-2)):
+        want = np.asarray(roi_align_pallas(feats, boxes, precision=prec,
+                                           interpret=True, pack_p=False))
+        got = np.asarray(roi_align_pallas(feats, boxes, precision=prec,
+                                          interpret=True, pack_p=True))
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol,
+                                   err_msg=prec)
 
 
 def test_large_roi_needs_raised_sampling_max():
