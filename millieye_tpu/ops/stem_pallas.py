@@ -685,6 +685,26 @@ def fused_stem(x, w, b, th=26, interpret=False, out_dtype=None,
 # ---------------------------------------------------------------------------
 
 
+def _u_shifted(bv, u, sdtype):
+    """(value, base_offset) such that value[base+off : ...] reads the
+    rows ``bv[base+u : ...]``.
+
+    f32 path: ``(bv, u)`` — the direct (possibly odd-offset) sublane
+    slice, unchanged from the chip-proven kernels. bf16 path: bf16
+    vector tiles pack two sublanes per 32-bit word, and the odd-offset
+    (u = 1, 2) sublane value-slices are what crashes Mosaic's compile
+    helper on the bf16-scratch kernels (round-4 on-chip finding: every
+    *_bf16s variant dies in tpu_compile_helper while the f32-scratch
+    twins compile) — so the u-shift becomes ONE whole-value sublane
+    roll (a supported relayout) and every later slice is 16-aligned:
+    ``roll(bv, n-u)[16g : 16g+16] == bv[16g+u : 16g+u+16]``."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if u == 0 or sdtype != jnp.bfloat16:
+        return bv, u
+    return pltpu.roll(bv, bv.shape[0] - u, 0), 0
+
+
 def _stem_kernel_planar2_phase(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                                o_ref, xb, s0, y1, s1, sem, *,
                                q, cin, c_mid, c_out, k0_pad, k1,
@@ -745,7 +765,8 @@ def _stem_kernel_planar2_phase(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                     fx = pltpu.roll(big, sh - 1, 1)    # src = dest + v*q+1
                     bv = jnp.where(lane0 >= (4 - v) * q, fx, t)
                 for u in range(3):
-                    s0[c * 9 + u * 3 + v] = bv[u:u + 16]
+                    sv, du = _u_shifted(bv, u, sdtype)
+                    s0[c * 9 + u * 3 + v] = sv[du:du + 16]
         z = s0[...].reshape(k0_pad, 16 * wq)
         y = jax.lax.dot_general(
             a0, z, (((1,), (0,)), ((), ())), precision=precision,
@@ -988,9 +1009,10 @@ def _stem_kernel_planar2_packed(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                     fx = pltpu.roll(big, sh - 1, 1)    # src = dest + v*q+1
                     bv = jnp.where(lane0 >= (4 - v) * q, fx, t)
                 for u in range(3):
+                    sv, du = _u_shifted(bv, u, sdtype)
                     for g in range(n_groups):
                         s0[g * k0_pad + c * 9 + u * 3 + v] = \
-                            bv[16 * g + u:16 * g + u + 16]
+                            sv[16 * g + du:16 * g + du + 16]
         z = s0[...].reshape(4 * k0_pad, 16 * wq)
         y = jax.lax.dot_general(
             a0, z, (((1,), (0,)), ((), ())), precision=precision,
@@ -1299,9 +1321,10 @@ def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                     fx = pltpu.roll(big, sh - 1, 1)    # src = dest + v*q+1
                     bv = jnp.where(lane0 >= (4 - v) * q, fx, t)
                 for u in range(3):
+                    sv, du = _u_shifted(bv, u, sdtype)
                     for g in range(n_groups):
                         s0[g * k0_pad + c * 9 + u * 3 + v] = \
-                            bv[16 * g + u:16 * g + u + 16]
+                            sv[16 * g + du:16 * g + du + 16]
         z = s0[...].reshape(g0 * k0_pad, 16 * wq)
         y = jax.lax.dot_general(
             a0, z, (((1,), (0,)), ((), ())), precision=precision,
