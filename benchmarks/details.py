@@ -92,7 +92,7 @@ def main():
               hi_store=None, im2col=(), heads_dtype="float32",
               pallas_stem=(), pallas_pair=False, pallas_prec="highest",
               pair_variant="select", roi_impl="einsum",
-              pallas_pairs="first"):
+              pallas_pairs="first", roi_reduce="dot"):
         darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=s),
                           img_size=s, s2d_stages=s2d, hi_prec_stages=hi_prec,
                           hi_prec_store=hi_store, im2col_stages=im2col,
@@ -102,7 +102,7 @@ def main():
                           pallas_stem_pair_variant=pair_variant,
                           pallas_stem_pairs=pallas_pairs)
         cfg = FusionConfig(compute_dtype=dtype, heads_dtype=heads_dtype,
-                          roi_impl=roi_impl)
+                          roi_impl=roi_impl, roi_reduce=roi_reduce)
         model = FusionNetwork(darknet, cfg)
         cpu = g._init_device()
         import contextlib
@@ -218,7 +218,13 @@ def main():
                 # + the deep PAIR: stages 4+6 as ONE s2d kernel (g0=2)
                 ("bfloat16", "pallas_pair2", (), False, False, (0, 2, 4),
                  "float16", (), "bfloat16", (0, 2, 4, 6), True, "default",
-                 "s2d", "pallas", "all"))
+                 "s2d", "pallas", "all"),
+                # pallas_max + the VPU segmented reduce in the RoI
+                # kernels (the S-matrix matmul was half the img crop's
+                # MXU passes) — round-4 RoI-slice candidate
+                ("bfloat16", "pallas_maxv", (), False, False, (0, 2, 4),
+                 "float16", (), "bfloat16", (0, 2), True, "default",
+                 "phase", "pallas", "first", "vpu"))
     global _DROPPED_STALE
     # comma-separated EXACT variant names: substring matching would pull
     # pallas_s2d8 into a MILLIEYE_ONLY=pallas_s2d rerun — an extra ~10 min
@@ -251,10 +257,12 @@ def main():
         pair_variant = rest[7] if len(rest) > 7 else "select"
         roi_impl = rest[8] if len(rest) > 8 else "einsum"
         pallas_pairs = rest[9] if len(rest) > 9 else "first"
+        roi_reduce = rest[10] if len(rest) > 10 else "dot"
         model, params, state = build(dtype, s2d, int8, acts, hi, hi_store,
                                      im2col, heads_dtype, pallas_stem,
                                      pallas_pair, pallas_prec,
-                                     pair_variant, roi_impl, pallas_pairs)
+                                     pair_variant, roi_impl, pallas_pairs,
+                                     roi_reduce)
 
         def fwd(i, m, r, v):
             out = model.apply(params, state, i, m, r, v, mode=0)
@@ -292,18 +300,17 @@ def main():
 
     # stage-3 train step (frozen subtrees, grad accumulation off for a
     # clean per-step number)
-    if only:
+    if only and "train" not in only:
         # filtered rerun: the non-variant sections' numbers are already
         # in the file; just regenerate the MFU table over the merge
+        # (MILLIEYE_ONLY=train runs ONLY the train-step section below)
         _mfu_and_finish(results)
         return
     from millieye_tpu.train import (frozen_adam, STAGE3_FROZEN,
                                     make_fusion_train_step)
     from millieye_tpu.train.steps import init_train_state
-    model, params, state = build("float32")
-    tx = frozen_adam(params, lr=5e-4, frozen_prefixes=STAGE3_FROZEN)
-    ts = init_train_state(params, state, tx)
-    step = jax.jit(make_fusion_train_step(model, tx), donate_argnums=(0,))
+    from millieye_tpu.models import Darknet, tiny_yolov3_defs
+
     b = 8
     images, maps, rb, rv = inputs(b)
     tg = np.zeros((b, 16, 5), np.float32)
@@ -313,17 +320,64 @@ def main():
              "rmask": rv, "targets": jnp.asarray(tg),
              "tmask": jnp.ones((b, 16), bool)}
     key = jax.random.PRNGKey(0)
-    ts, metrics = step(ts, batch, key)       # compile
-    np.asarray(metrics["loss"])              # completion barrier
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        ts, metrics = step(ts, batch, key)
-    np.asarray(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
-    results["train_step_b8_steps_per_s"] = round(1 / dt, 2)
-    results["train_step_b8_imgs_per_s"] = round(b / dt, 1)
-    print(f"train step b8: {1/dt:.2f} steps/s", flush=True)
+
+    def build_train(dtype, pallas=False):
+        """RAW (unfolded) params — the production Trainer's starting
+        point. ``pallas`` arms the fused-stem pair for the fold_frozen
+        step variant."""
+        import contextlib
+        dn_kw = {}
+        if pallas:
+            dn_kw = dict(hi_prec_stages=(0, 2, 4),
+                         pallas_stem_stages=(0, 2), pallas_stem_pair=True,
+                         pallas_stem_precision="default",
+                         pallas_stem_pair_variant="phase")
+        darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=s),
+                          img_size=s, **dn_kw)
+        model = FusionNetwork(darknet, FusionConfig(compute_dtype=dtype))
+        cpu = g._init_device()
+        with (jax.default_device(cpu) if cpu else contextlib.nullcontext()):
+            params, state = model.init(jax.random.PRNGKey(0))
+        return model, params, state
+
+    # train-step variants (VERDICT r4 #6): the round-3 step computed the
+    # FROZEN darknet's backward and threw it away; "stopgrad" prunes it,
+    # "bf16" runs the conv compute in bfloat16 (decode/loss f32),
+    # "fold_stem" BN-folds the frozen darknet in-step so the Pallas
+    # fused stem runs inside the training forward
+    TRAIN_VARIANTS = (
+        ("plain", dict(dtype="float32", frozen=(), fold=False,
+                       pallas=False)),
+        ("stopgrad", dict(dtype="float32", frozen=STAGE3_FROZEN,
+                          fold=False, pallas=False)),
+        ("stopgrad_bf16", dict(dtype="bfloat16", frozen=STAGE3_FROZEN,
+                               fold=False, pallas=False)),
+        ("fold_stem_bf16", dict(dtype="bfloat16", frozen=STAGE3_FROZEN,
+                                fold=True, pallas=True)),
+    )
+    for tname, kw in TRAIN_VARIANTS:
+        if (tname != "plain"
+                and not os.environ.get("MILLIEYE_TRAIN_VARIANTS")):
+            continue            # each is a ~10 min cold compile; the
+                                # campaign opts in (MILLIEYE_TRAIN_VARIANTS=1)
+        model, params, state = build_train(kw["dtype"], kw["pallas"])
+        tx = frozen_adam(params, lr=5e-4, frozen_prefixes=STAGE3_FROZEN)
+        ts = init_train_state(params, state, tx)
+        step = jax.jit(make_fusion_train_step(
+            model, tx, frozen_prefixes=kw["frozen"],
+            fold_frozen=kw["fold"]), donate_argnums=(0,))
+        ts, metrics = step(ts, batch, key)       # compile
+        np.asarray(metrics["loss"])              # completion barrier
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ts, metrics = step(ts, batch, key)
+        np.asarray(metrics["loss"])
+        dt = (time.perf_counter() - t0) / iters
+        suffix = "" if tname == "plain" else f"_{tname}"
+        results[f"train_step_b8{suffix}_steps_per_s"] = round(1 / dt, 2)
+        results[f"train_step_b8{suffix}_imgs_per_s"] = round(b / dt, 1)
+        print(f"train step b8 {tname}: {1/dt:.2f} steps/s", flush=True)
 
     _mfu_and_finish(results)
 
@@ -348,6 +402,23 @@ def _mfu_and_finish(results, s=416):
         dt = "bfloat16" if "bfloat16" in key else "float32"
         mfu_tbl[key.replace("_fps", "_mfu_pct")] = round(
             100 * mfu(val, fl["total"], dt), 2)
+    # train-step ledger (VERDICT r4 #6): imgs/s x train FLOPs/img
+    # against the variant dtype's matmul peak, both denominators
+    from benchmarks.flops import fusion_train_flops
+    tf = fusion_train_flops(FusionNetwork(
+        Darknet(tiny_yolov3_defs(num_classes=12, img_size=s),
+                img_size=s)))
+    mfu_tbl["train_flops_per_img"] = {k: round(v / 1e9, 3)
+                                      for k, v in tf.items()}
+    for key, val in merged.items():
+        if not (key.startswith("train_step_b8")
+                and key.endswith("_imgs_per_s")):
+            continue
+        dt = "bfloat16" if "bf16" in key else "float32"
+        den = ("train_full_bwd" if key == "train_step_b8_imgs_per_s"
+               else "train_pruned")
+        mfu_tbl[key.replace("_imgs_per_s", "_mfu_pct")] = round(
+            100 * mfu(val, tf[den], dt), 2)
     merged = _flush({"mfu": mfu_tbl})
     print(json.dumps(merged))
 

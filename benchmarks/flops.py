@@ -89,3 +89,30 @@ def fusion_flops(model, img_size=416, max_det=200, max_radar=32,
 
 def mfu(fps, flops_per_frame, dtype="bfloat16"):
     return fps * flops_per_frame / PEAK_FLOPS[dtype]
+
+
+def fusion_train_flops(model, img_size=416, max_det=200, max_radar=32):
+    """FLOPs per IMAGE for one stage-3 train step.
+
+    Forward = the full fusion forward. Backward: stage 3 trains only the
+    radar encoder, the refinement head's radar branch and the ensemble
+    head (STAGE3_FROZEN masks darknet/img_cnn/refine.net*) — with the
+    stop-gradient freeze the pruned backward costs ~2x the TRAINABLE
+    subgraph's forward. Without it (the round-3 step) the backward
+    re-runs the whole backbone: both denominators are returned so the
+    ledger shows what the pruning is worth.
+    """
+    g = img_size // 16
+    n_roi = max_det + max_radar
+    fwd = fusion_flops(model, img_size, max_det, max_radar)
+    radar_enc = sum(2 * k * k * cin * cout * g * g for k, cin, cout in
+                    ((3, 3, 32), (3, 32, 64), (3, 64, 128), (1, 128, 10)))
+    radar_net = n_roi * 2 * (7 * 7 * 10 * 10 + 10)
+    ensemble = max_det * 2 * (2 * 2 * 32 + 64 * 2)
+    trainable = radar_enc + radar_net + ensemble
+    return {
+        "fwd": fwd["total"],
+        "train_pruned": fwd["total"] + 2 * trainable,
+        "train_full_bwd": 3 * fwd["total"],
+        "trainable_fwd": trainable,
+    }

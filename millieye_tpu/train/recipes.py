@@ -165,7 +165,9 @@ def refine_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2,
     tx = frozen_adam(params, lr=lr, frozen_prefixes=STAGE2_FROZEN,
                      every_k=every_k, grad_clip=grad_clip)
     ts = init_train_state(params, state, tx)
-    return Trainer(make_refine_train_step(model, tx), ts, ckpt_dir,
+    return Trainer(make_refine_train_step(model, tx,
+                                          frozen_prefixes=STAGE2_FROZEN),
+                   ts, ckpt_dir,
                    name="module2", log_every=log_every, mesh=mesh)
 
 
@@ -190,12 +192,13 @@ def fusion_viz(model, mode=0):
 def fusion_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2,
                    mode=0, freeze_module2=True, viz=False, log_every=10,
                    grad_clip=None, mesh=None):
+    frozen = STAGE3_FROZEN if freeze_module2 else (("darknet",),)
     tx = frozen_adam(params, lr=lr, grad_clip=grad_clip,
-                     frozen_prefixes=STAGE3_FROZEN if freeze_module2 else
-                     (("darknet",),),
-                     every_k=every_k)
+                     frozen_prefixes=frozen, every_k=every_k)
     ts = init_train_state(params, state, tx)
-    return Trainer(make_fusion_train_step(model, tx, mode), ts, ckpt_dir,
+    return Trainer(make_fusion_train_step(model, tx, mode,
+                                          frozen_prefixes=frozen),
+                   ts, ckpt_dir,
                    name="module3", log_every=log_every,
                    viz_fn=fusion_viz(model, mode) if viz else None,
                    mesh=mesh)

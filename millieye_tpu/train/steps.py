@@ -67,6 +67,30 @@ def _apply(tx, ts, grads, new_bn_state):
     return ts, reverted
 
 
+def _stop_frozen(params, frozen_prefixes):
+    """stop_gradient every leaf under the frozen path prefixes.
+
+    ``frozen_adam`` already MASKS the frozen subtrees' updates, but the
+    backward pass still computes their gradients and throws them away —
+    for stage 3 that is the whole darknet backward (most of the step's
+    FLOPs). Stopping the gradient at the parameter leaves lets XLA prune
+    that backward entirely; the resulting update is bit-identical (the
+    masked optimizer never read those gradients).
+    """
+    if not frozen_prefixes:
+        return params
+    from millieye_tpu.train.optim import _path_tuple
+    pres = tuple(tuple(p) for p in frozen_prefixes)
+
+    def f(path, leaf):
+        pt = _path_tuple(path)
+        if any(pt[:len(pre)] == pre for pre in pres):
+            return jax.lax.stop_gradient(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
 def make_yolo_train_step(model, tx):
     """Stage 1: full YOLO training (module2_mixed/train.py 'yolo' phase)."""
 
@@ -93,15 +117,20 @@ def make_yolo_train_step(model, tx):
     return step
 
 
-def make_refine_train_step(model, tx):
+def make_refine_train_step(model, tx, frozen_prefixes=()):
     """Stage 2: frozen YOLO + refinement/ensemble heads
-    (module2_mixed/train.py:126-166)."""
+    (module2_mixed/train.py:126-166).
+
+    ``frozen_prefixes``: stop-gradient these param subtrees (pass the
+    optimizer's freeze set) so the pruned backward matches what the
+    masked optimizer actually consumes."""
 
     def step(ts: TrainState, batch, rng):
         images, targets, tmask = (batch["images"], batch["targets"],
                                   batch["tmask"])
 
         def loss_fn(params):
+            params = _stop_frozen(params, frozen_prefixes)
             out = model.apply(params, ts.state, images, train=True,
                               targets=targets, tmask=tmask, rng=rng)
             return out["loss"], (out["state"], out["metrics"])
@@ -119,14 +148,36 @@ def make_refine_train_step(model, tx):
     return step
 
 
-def make_fusion_train_step(model, tx, mode=0):
+def make_fusion_train_step(model, tx, mode=0, frozen_prefixes=(),
+                           fold_frozen=False):
     """Stage 3: frozen YOLO + frozen module2 branch, radar/ensemble train
-    (module3_our_dataset/train.py:167-240)."""
+    (module3_our_dataset/train.py:167-240).
+
+    ``frozen_prefixes``: stop-gradient these param subtrees (pass the
+    optimizer's freeze set) — prunes the frozen darknet's backward pass,
+    which the masked optimizer discarded anyway.
+
+    ``fold_frozen`` (requires a frozen darknet): BN-fold the darknet
+    params INSIDE the step. The frozen base detector already runs
+    eval-mode BN (train.py:169-170), so folding is numerically the same
+    composition — and folded weights are what lets the Pallas fused
+    stem engage in the training forward (darknet._pallas_fused needs
+    folded stages)."""
+    fold = bool(fold_frozen)
+    if fold and ("darknet",) not in tuple(tuple(p) for p in frozen_prefixes):
+        raise ValueError("fold_frozen requires the darknet to be frozen")
 
     def step(ts: TrainState, batch, rng):
         def loss_fn(params):
+            params = _stop_frozen(params, frozen_prefixes)
+            state = ts.state
+            if fold:
+                fp, fs = model.darknet.fold_batchnorm(params["darknet"],
+                                                      state["darknet"])
+                params = dict(params, darknet=fp)
+                state = dict(state, darknet=fs)
             out = model.apply(
-                params, ts.state, batch["images"], batch["radar_maps"],
+                params, state, batch["images"], batch["radar_maps"],
                 batch["radar_boxes"], batch["rmask"], mode=mode,
                 train=True, targets=batch["targets"],
                 tmask=batch["tmask"], rng=rng)
