@@ -143,6 +143,27 @@ SERVING_PRESETS = {
                      "pallas_precision": "default",
                      "pallas_variant": "s2d", "pallas_pairs": "all",
                      "roi_impl": "pallas", "roi_precision": "default"},
+    # pallas_max + the VPU segmented reduce in the RoI kernel (the
+    # S-matrix matmul was half the img-crop kernel's MXU passes) and the
+    # all-bin-row packed radar crop — the round-4 RoI-slice candidates
+    "pallas_maxv": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                    "hi_store": "float16", "heads_dtype": "bfloat16",
+                    "pallas": (0, 2), "pallas_pair": True,
+                    "pallas_precision": "default",
+                    "pallas_variant": "phase",
+                    "roi_impl": "pallas", "roi_precision": "default",
+                    "roi_reduce": "vpu"},
+    # latency-first b1 serving: half the NMS candidate set (top-256 —
+    # exactness at the serving conf 0.2 monitored by
+    # ops.nms.pre_top_k_sufficient) + the block-sequential NMS kernel
+    "pallas_lat": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                   "hi_store": "float16", "heads_dtype": "bfloat16",
+                   "pallas": (0, 2), "pallas_pair": True,
+                   "pallas_precision": "default",
+                   "pallas_variant": "phase",
+                   "roi_impl": "pallas", "roi_precision": "default",
+                   "roi_reduce": "vpu",
+                   "pre_nms_top_k": 256, "nms_use_blocked": True},
     "s2d": {"s2d": True},
     "bf16_s2d": {"compute_dtype": "bfloat16", "s2d": True},
     "int8": {"s2d": True, "weights_int8": True},

@@ -66,8 +66,14 @@ def test_serving_overrides_shape():
                                     "pallas_phase", "pallas_max",
                                     "pallas_max4", "pallas_packed",
                                     "pallas_s2d", "pallas_s2d8",
-                                    "pallas_deep", "pallas_pair2", "s2d",
+                                    "pallas_deep", "pallas_pair2",
+                                    "pallas_maxv", "pallas_lat", "s2d",
                                     "bf16_s2d", "int8", "int8_acts"}
+    # the round-4 RoI/latency presets carry their FusionConfig overrides
+    _, _, _, _, over_v = serving_overrides("pallas_maxv")
+    assert over_v["roi_reduce"] == "vpu"
+    _, _, _, _, over_l = serving_overrides("pallas_lat")
+    assert over_l["pre_nms_top_k"] == 256 and over_l["nms_use_blocked"]
     s2d, hi, store, pkw, over = serving_overrides("pallas_stem")
     assert pkw == {"pallas_stem": (0, 2), "pallas_pair": False,
                    "pallas_precision": "highest",
