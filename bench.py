@@ -104,27 +104,84 @@ def main(presets=None):
     step, args, serving = (_warm((presets,)) if isinstance(presets, str)
                            else _warm() if presets is None
                            else _warm(presets))
-    # best of several measurement windows: the tunnel adds bursty host
-    # jitter that a single window conflates with device time
-    iters, windows = 100, 3
-    best = float("inf")
+    # MEDIAN of several measurement windows: the tunnel adds bursty host
+    # jitter that a single window conflates with device time, and the
+    # round-3 record showed best-of-3 wobbling +/-10% across same-code
+    # sessions — the median over more windows is the defensible number,
+    # with the spread reported alongside.
+    iters, windows = 100, 7
+    per = []
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step(*args)
         np.asarray(out[1])                      # fetch barrier (tiny mask)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    fps = 1.0 / best
+        per.append((time.perf_counter() - t0) / iters)
+    per.sort()
+    med = per[len(per) // 2]
+    fps = 1.0 / med
+    fps_best = 1.0 / per[0]
+    spread_pct = 100.0 * (per[-1] - per[0]) / med
+
+    # scan-amortized per-frame DEVICE latency (stable across sessions —
+    # the wall fps above is dispatch-floored through the relay).
+    # MILLIEYE_BENCH_SCAN=0 skips it (cold scan compiles cost minutes).
+    lat_us = None
+    if os.environ.get("MILLIEYE_BENCH_SCAN", "1") != "0":
+        try:
+            import sys
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from benchmarks.backbone_profile import bench_scanned
+            images, rest = args[0], args[1:]
+            lat = bench_scanned(lambda im: step(im, *rest)[0], images,
+                                k=16, windows=3)
+            lat_us = round(lat * 1e6, 1)
+        except Exception as e:                  # noqa: BLE001
+            import sys
+            print(f"# scan latency skipped: {type(e).__name__}: "
+                  f"{str(e)[:160]}", file=sys.stderr, flush=True)
 
     base = _baseline_fps()
     vs = fps / base if base else 0.0
-    print(json.dumps({
+    line = {
         "metric": "fusion_e2e_fps_b1_416",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(vs, 2),
         "config": serving,
-    }))
+        "wall_fps_best": round(fps_best, 2),
+        "wall_spread_pct": round(spread_pct, 1),
+        "windows": windows,
+    }
+    if lat_us is not None:
+        line["device_latency_us_b1"] = lat_us
+    print(json.dumps(line))
+    _record_variance(line)
+
+
+def _record_variance(line):
+    """Mirror the run's variance stats into BENCH_DETAILS.json
+    (bench_variance block) so the official record carries its own error
+    bars."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAILS.json")
+        merged = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+        merged["bench_variance"] = {
+            "config": line["config"],
+            "wall_fps_median": line["value"],
+            "wall_fps_best": line["wall_fps_best"],
+            "wall_spread_pct": line["wall_spread_pct"],
+            "windows": line["windows"],
+            "device_latency_us_b1": line.get("device_latency_us_b1"),
+        }
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
+    except Exception:                           # noqa: BLE001
+        pass
 
 
 def _ladder():
@@ -159,9 +216,11 @@ def _ladder():
     # MEASURED-fastest preset order via runs/bench_ladder.json.
     # Default order = the r3e campaign's MEASURED ladder (pallas_packed
     # was Mosaic-rejected on-chip and is no longer a default rung).
-    rungs = [("pallas_max", {"MILLIEYE_NMS_BLOCKED": "0"}, 1500),
-             ("pallas_stem2", {"MILLIEYE_NMS_BLOCKED": "0"}, 1500),
-             ("f32", {"MILLIEYE_NMS_PALLAS": "0"}, 2400)]
+    rungs = [("pallas_max", {"MILLIEYE_NMS_BLOCKED": "0"}, 2000),
+             ("pallas_stem2", {"MILLIEYE_NMS_BLOCKED": "0",
+                               "MILLIEYE_BENCH_SCAN": "0"}, 1500),
+             ("f32", {"MILLIEYE_NMS_PALLAS": "0",
+                      "MILLIEYE_BENCH_SCAN": "0"}, 2400)]
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "runs", "bench_ladder.json")
     if os.path.exists(path):

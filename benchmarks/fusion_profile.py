@@ -60,9 +60,23 @@ def _tail_profile(model, params, state, x, maps, rb, rmask, cd, results,
     flat_valid = jnp.concatenate(
         [det_valid, rmask], axis=1).reshape(-1)
 
-    # mirror fusion.py:190 — the feature map is cast to the heads dtype
-    # (f32 by default) before the score-map convs
+    # mirror fusion.py — the feature map AND the head params are cast to
+    # the heads dtype before the score-map convs (the round-3 tail rows
+    # measured f32 params under a bf16 label, one source of the −749 µs
+    # "residual"; the other is that each row is a SEPARATE program whose
+    # fusion/DCE differs from the full graph — the rows are directional,
+    # not additive, and the reconciliation line below makes the gap
+    # explicit instead of leaving a negative residual in the record)
     hd = jnp.dtype(cfg.heads_dtype)
+    if hd != jnp.float32:
+        from millieye_tpu.models.fusion import _cast_floats
+        params = dict(params)
+        state = dict(state)
+        for k2 in ("img_cnn", "radar_enc", "refine"):
+            params[k2] = _cast_floats(params[k2], hd)
+            if k2 in state:
+                state[k2] = _cast_floats(state[k2], hd)
+        params["ensemble"] = _cast_floats(params["ensemble"], hd)
 
     def score_maps(fm):
         roi_sm, _ = heads.conv_bn_stack_apply(
@@ -203,9 +217,16 @@ def main(b=32, dtype="bfloat16"):
                       results, b, dtype)
         known = sum(results[f"fusion_tail_{dtype}_b{b}_{n}_us"]
                     for n in ("score_maps", "roi_crops", "heads"))
-        results[f"fusion_tail_{dtype}_b{b}_residual_us"] = round(
+        # reconciliation, not a residual: each tail row is a SEPARATE
+        # program (its own fusion/DCE), so known need not equal the
+        # in-graph tail; the gap is reported as a methodology error bar
+        # (a negative value means the standalone rows OVERSTATE the
+        # in-graph cost), never as an attributed stage
+        results[f"fusion_tail_{dtype}_b{b}_reconciliation_us"] = round(
             tail - known, 1)
-        print(f"tail residual (decode/regress/sort): {tail - known:.1f} us",
+        results.pop(f"fusion_tail_{dtype}_b{b}_residual_us", None)
+        print(f"tail reconciliation (in-graph tail {tail:.1f} - "
+              f"standalone rows {known:.1f}): {tail - known:.1f} us",
               flush=True)
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(
@@ -215,6 +236,8 @@ def main(b=32, dtype="bfloat16"):
         with open(out_path) as f:
             merged = json.load(f)
     merged.update(results)
+    # retired key (misleading negative "residual"; see reconciliation)
+    merged.pop(f"fusion_tail_{dtype}_b{b}_residual_us", None)
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
 
