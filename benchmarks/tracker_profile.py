@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 import sys
 import time
 
@@ -31,16 +30,11 @@ CALIB = "/root/reference/module3_our_dataset/data_collection/yaml/calib_FOV90.ya
 
 
 def load_frames():
-    with open(os.path.join(REC, "pointcloud.pkl"), "rb") as f:
-        frames = pickle.load(f)
-    # each frame: dict or array of points; normalize to [4, n]
-    out = []
-    for fr in frames:
-        a = np.asarray(fr, np.float64)
-        if a.ndim == 2 and a.shape[0] != 4 and a.shape[1] == 4:
-            a = a.T
-        out.append(a)
-    return out
+    # {"Data": {numObj, x, y, z, velocity}, "Time", "Frame_ID"} records
+    # (collection/sync.py); stacked to [4, n] like the stream producer
+    from millieye_tpu.collection.sync import load_pointcloud
+    _, frames = load_pointcloud(os.path.join(REC, "pointcloud.pkl"))
+    return [np.asarray(f, np.float64) for f in frames]
 
 
 def main():

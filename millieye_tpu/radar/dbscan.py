@@ -71,22 +71,32 @@ def cluster_points(xyzv, weights=(2, 1, 3, 1), eps=1.5, min_samples=2,
     if xyzv.size == 0:
         return _empty_clusters(), np.empty(0, np.int64)
     labels = dbscan(xyzv * np.asarray(weights), eps, min_samples)
-    ids = sorted(set(labels[labels >= 0]))
+    valid = labels >= 0
+    if not valid.any():
+        return _empty_clusters(), labels
+    # one bincount/ufunc.at pass over all clusters (the per-cluster numpy
+    # loop was ~0.6 ms/frame of the host producer, tracker_profile.py)
+    lab = labels[valid]
+    ids, lab = np.unique(lab, return_inverse=True)
     k = len(ids)
+    pts = xyzv[valid, :3]
+    counts = np.bincount(lab, minlength=k)
+    center = np.stack([np.bincount(lab, pts[:, d], k) for d in range(3)],
+                      axis=1) / counts[:, None]
+    mx = np.full((k, 3), -np.inf)
+    mn = np.full((k, 3), np.inf)
+    np.maximum.at(mx, lab, pts)
+    np.minimum.at(mn, lab, pts)
+    if global_avg_v:
+        avg_v = np.full(k, xyzv[:, 3].mean())
+    else:
+        avg_v = np.bincount(lab, xyzv[valid, 3], k) / counts
     out = {
-        "num_points": np.zeros(k, np.int64),
-        "center": np.zeros((k, 3)),
-        "size": np.zeros((k, 3)),
-        "avg_v": np.zeros(k),
+        "num_points": counts.astype(np.int64),
+        "center": center,
+        "size": mx - mn,
+        "avg_v": avg_v,
     }
-    for row, cid in enumerate(ids):
-        sel = labels == cid
-        xyz = xyzv[sel, :3]
-        out["num_points"][row] = sel.sum()
-        out["center"][row] = xyz.mean(0)
-        out["size"][row] = xyz.max(0) - xyz.min(0)
-        out["avg_v"][row] = (xyzv[:, 3].mean() if global_avg_v
-                             else xyzv[sel, 3].mean())
     return out, labels
 
 

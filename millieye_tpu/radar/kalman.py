@@ -14,15 +14,16 @@ from __future__ import annotations
 import numpy as np
 
 
+# observation selector: H picks these state rows (H @ x == x[_OBS]);
+# keeping it as an index set turns the update's H-matmuls into slicing
+_OBS = np.array([0, 1, 2, 5, 6, 7, 8])
+_OBS_IX = np.ix_(_OBS, _OBS)
+_DIAG7 = np.arange(7)
+
+
 class ClusterKalman:
     def __init__(self, center, avg_v, size, dt):
-        f = np.eye(9)
-        f[0, 3] = f[1, 4] = f[2, 5] = dt
-        self.F = f
-        h = np.zeros((7, 9))
-        for row, col in enumerate((0, 1, 2, 5, 6, 7, 8)):
-            h[row, col] = 1.0
-        self.H = h
+        self.dt = dt
 
         p = np.eye(9)
         p[0:2, 0:2] *= 10.0
@@ -40,16 +41,25 @@ class ClusterKalman:
         self.x[6:9] = size
 
     def predict(self):
-        self.x = self.F @ self.x
-        self.P = self.F @ self.P @ self.F.T + self.Q
+        # x = F @ x; P = F P F^T + Q with F = I + dt*E expanded to the
+        # three row/col axpys it actually is (9x9 matmuls were ~40% of
+        # the tracker's per-frame cost, tracker_profile.py)
+        dt = self.dt
+        self.x[0:3] += dt * self.x[3:6]
+        p = self.P
+        p[0:3] += dt * p[3:6]
+        p[:, 0:3] += dt * p[:, 3:6]
+        p += self.Q
 
     def update(self, center, avg_v, size):
         z = np.concatenate([center, [avg_v], size])
-        y = z - self.H @ self.x
-        s = self.H @ self.P @ self.H.T + self.R
-        k = self.P @ self.H.T @ np.linalg.inv(s)
-        self.x = self.x + k @ y
-        self.P = (np.eye(9) - k @ self.H) @ self.P
+        x, p = self.x, self.P
+        y = z - x[_OBS]
+        s = p[_OBS_IX].copy()
+        s[_DIAG7, _DIAG7] += 1.0                      # + R = I
+        k = np.linalg.solve(s, p[:, _OBS].T).T        # P H^T S^-1 (S sym)
+        self.x = x + k @ y
+        self.P = p - k @ p[_OBS, :]                   # (I - K H) P
 
     @property
     def center(self):

@@ -50,24 +50,34 @@ def clusters_to_proposals(tracked, calib, max_size):
     Projects the front face (z_multi=0 plane through the center) of each
     cluster's 3D box and applies the compensation augments.
     """
+    if not len(tracked):
+        return np.zeros((0, 4), np.float64)
+    sizes = np.asarray([c["size"] for c in tracked], np.float64)
+    centers = np.asarray([c["center"] for c in tracked], np.float64)
+    keep = sizes.max(1) < max_size
+    if not keep.any():
+        return np.zeros((0, 4), np.float64)
+    sizes, centers = sizes[keep], centers[keep]
+    k = len(sizes)
+    # ONE projection call for all clusters' front-face corner pairs (the
+    # per-cluster 2-point calls were the whole proposals stage cost,
+    # tracker_profile.py)
+    half = sizes * (0.5, 0.5, 0.0)
+    corners = np.concatenate([centers + half, centers - half], 0)
+    u, v = project_camera_xyz_to_uv(corners.T, calib)
+    x, y = (u[:k] + u[k:]) / 2, (v[:k] + v[k:]) / 2
+    w, h = u[:k] - u[k:], v[:k] - v[k:]
     boxes = []
-    for c in tracked:
-        size = np.asarray(c["size"], np.float64)
-        if size.max() >= max_size:
-            continue
-        center = np.asarray(c["center"], np.float64)
-        corners = np.stack([center + size * (0.5, 0.5, 0.0),
-                            center - size * (0.5, 0.5, 0.0)])
-        u, v = project_camera_xyz_to_uv(corners.T, calib)
-        x, y = (u[0] + u[1]) / 2, (v[0] + v[1]) / 2
-        w, h = u[0] - u[1], v[0] - v[1]
-        for (dx, dy) in _COMP_TRANSLATIONS:
-            for (sw, sh) in _COMP_SCALES:
-                cx, cy = x + dx * w, y + dy * h
-                bw, bh = w * sw, h * sh
-                boxes.append([cx - bw / 2, cy - bh / 2,
-                              cx + bw / 2, cy + bh / 2])
-    return np.asarray(boxes, np.float64).reshape(-1, 4)
+    for (dx, dy) in _COMP_TRANSLATIONS:
+        for (sw, sh) in _COMP_SCALES:
+            cx, cy = x + dx * w, y + dy * h
+            bw, bh = w * sw, h * sh
+            boxes.append(np.stack([cx - bw / 2, cy - bh / 2,
+                                   cx + bw / 2, cy + bh / 2], -1))
+    # per-cluster-major order, matching the reference's per-cluster
+    # augment loop (run_mp.py:103-108)
+    return (np.stack(boxes, 1).reshape(-1, 4)
+            if len(boxes) > 1 else boxes[0])
 
 
 def normalize_boxes_to_padded(xyxy, frame_size):

@@ -39,13 +39,16 @@ def project_camera_xyz_to_uv(xyz, calib):
     Returns (u [n], v [n]).
     """
     fx, cx, fy, cy, k1, k2, t1, t2, k3, tx, ty, tz = calib
-    x = (xyz[0] + tx) / (xyz[2] + tz)
-    y = (xyz[1] + ty) / (xyz[2] + tz)
-    r2 = x * x + y * y
-    radial = 1 + k1 * r2 + k2 * r2**2 + k3 * r2**3
-    xd = x * radial + 2 * t1 * x * y + t2 * (r2 + 2 * x * x)
-    yd = y * radial + 2 * t2 * x * y + t1 * (r2 + 2 * y * y)
-    return xd * fx + cx, yd * fy + cy
+    # points at/behind the camera plane produce inf/nan here and are
+    # dropped by the FOV filter downstream — suppress the fp warnings
+    with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
+        x = (xyz[0] + tx) / (xyz[2] + tz)
+        y = (xyz[1] + ty) / (xyz[2] + tz)
+        r2 = x * x + y * y
+        radial = 1 + k1 * r2 + k2 * r2**2 + k3 * r2**3
+        xd = x * radial + 2 * t1 * x * y + t2 * (r2 + 2 * x * x)
+        yd = y * radial + 2 * t2 * x * y + t1 * (r2 + 2 * y * y)
+        return xd * fx + cx, yd * fy + cy
 
 
 def radar_points_to_image(points, calib):
@@ -60,6 +63,7 @@ def radar_points_to_image(points, calib):
     cam = np.stack([x, -z_up, y_depth])      # radar (x,-z,y) -> camera
     u, v = project_camera_xyz_to_uv(cam, calib)
     tz = calib[11]
-    uv = np.stack([u, v], axis=-1).astype(np.int64)
+    with np.errstate(invalid="ignore"):
+        uv = np.stack([u, v], axis=-1).astype(np.int64)
     xyzv = np.stack([cam[0], cam[1], cam[2] + tz, vel], axis=-1)
     return uv, xyzv
