@@ -72,7 +72,7 @@ def _map(res):
 
 
 def main(quick=False, out_path="SYNTH_RESULTS.json",
-         ckpt_root="runs/synthetic", resume=False):
+         ckpt_root="runs/synthetic", resume=False, e3_override=None):
     n_train = 400 if quick else 2000
     n_test = 120 if quick else 400
     # device-cached steps are ~12/s through the tunnel, so epoch counts
@@ -81,7 +81,14 @@ def main(quick=False, out_path="SYNTH_RESULTS.json",
     # even on bright frames)
     # e2 sets the frozen regression quality that bounds stage-3's radar-
     # row boxes (module3 excludes the regression loss, my_models.py:635)
-    e1, e2, e3 = (2, 1, 1) if quick else (16, 16, 24)
+    # e3: the randomly-init fusion parts (radar encoder, radar_net,
+    # ensemble gate) climb for dozens of epochs (the r3-regen per-epoch
+    # curve, benchmarks/stage3_curve.py: mode-0 H 0.40 @ ep0 -> 0.86 @
+    # ep23, still rising) — train long and pick the best epoch on a
+    # HELD-OUT validation seed (555), never the test seed (777)
+    e1, e2, e3 = (2, 1, 1) if quick else (16, 16, 72)
+    if e3_override:
+        e3 = e3_override
     batch = 16
     report = {"config": {"n_train": n_train, "n_test": n_test,
                          "epochs": [e1, e2, e3], "batch": batch,
@@ -207,6 +214,52 @@ def main(quick=False, out_path="SYNTH_RESULTS.json",
         ts3 = tr3.fit(train_cache.loader(batch, shuffle=True, seed=3), e3,
                       jax.random.PRNGKey(30),
                       lambda b: fusion_device_batch(b, IMG))
+
+        # best-epoch selection on a held-out VALIDATION seed: the fusion
+        # parts train from random init and their mode-0 quality is not
+        # monotone in epochs; picking by test-seed mAP would leak.
+        # Weights ride the eval jit as ARGUMENTS — the sweep costs one
+        # compile (round-2 lesson (d), CLAUDE.md).
+        n_val = max(64, n_test // 2)
+        val_cache = {
+            light: radar_cache(SyntheticScenes(
+                n_val, seed=555, illumination=(light,)))
+            for light in ("H", "L")}
+        stride = max(1, e3 // 12)
+        cand = sorted(set(list(range(stride - 1, e3, stride)) + [e3 - 1]))
+        tpl = {"params": ts3.params, "state": ts3.state}
+        val_curve, best = [], (-1.0, None)
+        for ep in cand:
+            path = os.path.join(ckpt_root, "stage3",
+                                f"module3_ckpt_{ep}.npz")
+            if not os.path.exists(path):
+                continue
+            with jax.default_device(cpu):
+                restored = load_checkpoint(path, tpl)
+            row = {"epoch": ep}
+            for light in ("H", "L"):
+                batches = (fusion_device_batch(b, IMG) for b in
+                           val_cache[light].loader(batch))
+                res = evaluate_fusion(fusion, restored["params"],
+                                      restored["state"], batches, mode=0)
+                row[f"val_map50_{light}"] = _map(res)
+            row["score"] = round((row["val_map50_H"]
+                                  + row["val_map50_L"]) / 2, 4)
+            val_curve.append(row)
+            print("stage3 val:", json.dumps(row), flush=True)
+            if row["score"] > best[0]:
+                best = (row["score"], ep, restored)
+        if best[1] is not None:
+            print(f"stage3: selected epoch {best[1]} "
+                  f"(val score {best[0]})", flush=True)
+            ts3 = ts3._replace(params=best[2]["params"],
+                               state=best[2]["state"])
+            report["stage3_selection"] = {"epoch": best[1],
+                                          "val_score": best[0],
+                                          "stride": stride,
+                                          "val_seed": 555,
+                                          "n_val": n_val,
+                                          "curve": val_curve}
         save_checkpoint(stage_ckpt("stage3"),
                         {"params": ts3.params, "state": ts3.state})
     # runs/ is gitignored and has been wiped between sessions (twice,
@@ -250,5 +303,8 @@ if __name__ == "__main__":
     ap.add_argument("--resume", action="store_true",
                     help="reuse runs/synthetic/stage*_final.npz from a "
                          "previous (crashed) run instead of retraining")
+    ap.add_argument("--e3", type=int, default=None,
+                    help="stage-3 epoch override (default 72)")
     args = ap.parse_args()
-    main(quick=args.quick, out_path=args.out, resume=args.resume)
+    main(quick=args.quick, out_path=args.out, resume=args.resume,
+         e3_override=args.e3)
