@@ -150,6 +150,21 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
                            compute_dtype="bfloat16",
                            heads_dtype="bfloat16",
                            roi_impl="pallas", roi_precision="default")
+    # the serving-candidate tails: top-256 NMS (sufficiency-proved
+    # lossless at conf 0.2) and the full latency preset (top-256 +
+    # blocked NMS kernel + VPU RoI reduce) — accuracy gates for the
+    # pallas_max_k256 / pallas_lat presets
+    k256_cfg = FusionConfig(conf_thresh=0.2, pre_nms_top_k=256,
+                            max_det=64, max_radar=16,
+                            compute_dtype="bfloat16",
+                            heads_dtype="bfloat16",
+                            roi_impl="pallas", roi_precision="default")
+    lat_cfg = FusionConfig(conf_thresh=0.2, pre_nms_top_k=256,
+                           max_det=64, max_radar=16,
+                           compute_dtype="bfloat16",
+                           heads_dtype="bfloat16",
+                           roi_impl="pallas", roi_precision="default",
+                           roi_reduce="vpu", nms_use_blocked=True)
 
     variants = {
         "f32": (base, dict(params, darknet=fp), "float32"),
@@ -164,6 +179,10 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
         "pallas_phase": (FusionNetwork(phase_dn, heads_cfg),
                          dict(params, darknet=fp), "bfloat16"),
         "pallas_max": (FusionNetwork(phase_dn, roi_cfg),
+                       dict(params, darknet=fp), "bfloat16"),
+        "pallas_max_k256": (FusionNetwork(phase_dn, k256_cfg),
+                            dict(params, darknet=fp), "bfloat16"),
+        "pallas_lat": (FusionNetwork(phase_dn, lat_cfg),
                        dict(params, darknet=fp), "bfloat16"),
         # + stage-0 K-packed stem (numerics == phase at the same
         # precision; this row is the trained-net no-regression gate)

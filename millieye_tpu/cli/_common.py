@@ -153,6 +153,17 @@ SERVING_PRESETS = {
                     "pallas_variant": "phase",
                     "roi_impl": "pallas", "roi_precision": "default",
                     "roi_reduce": "vpu"},
+    # pallas_max with the NMS candidate set halved (top-256): provably
+    # lossless at the serving conf 0.2 on 100% of both test splits
+    # (PRE_TOPK_SUFFICIENCY.json, ops.nms.pre_top_k_sufficient) and the
+    # NMS block shrinks 734 -> 475 us b32
+    "pallas_max_k256": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                        "hi_store": "float16", "heads_dtype": "bfloat16",
+                        "pallas": (0, 2), "pallas_pair": True,
+                        "pallas_precision": "default",
+                        "pallas_variant": "phase",
+                        "roi_impl": "pallas", "roi_precision": "default",
+                        "pre_nms_top_k": 256},
     # latency-first b1 serving: half the NMS candidate set (top-256 —
     # exactness at the serving conf 0.2 monitored by
     # ops.nms.pre_top_k_sufficient) + the block-sequential NMS kernel

@@ -913,630 +913,13 @@ def fused_stem2_phase(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
             .astype(out_dtype))
 
 
-# ---------------------------------------------------------------------------
-# K-PACKED phase kernel ("packed"): stage-0's MXU structural fix.
-#
-# The phase kernel's stage-0 dot is [c_mid=16, K=32] x [32, N] — the
-# 128x128 MXU loads 32 of 128 K-rows and 16 of 128 M-cols, so each
-# streamed column does 512 of 16384 possible MACs (~3%), and the kernel
-# is column-streaming bound (measured 2787 us/b32 ~= the N_total/4MXU
-# cycle count). Fix: pack FOUR 16-row groups of a 64-row superband into
-# the K dimension with a block-diagonal weight tile
-#
-#     a0bd = blockdiag(a0, a0, a0, a0)          [4*c_mid=64, 4*K0=128]
-#     z    = [128, 16*wq]   rows g*32+idx = group-g patches
-#     y    = a0bd @ z       [64, 16*wq]   rows g*16+ch = group-g outputs
-#
-# Every column now carries 4 positions' patches (K=128 fully loaded,
-# M=64): 16x the useful MACs per cycle, 4x fewer streamed columns for
-# stage 0. The fill work is unchanged (same [16, wq] copies, 4x per
-# superband, 4x fewer superbands). Stage 1 (K=144, M=32, ~28% per-pass
-# utilization) is left in the phase formulation — packing would push
-# K past 128. Projected stage-0 dot time: ~4x down; kernel total
-# ~2.8 -> ~1.6 ms/b32.
-#
-# Epilogue: h % 64 == 32 leaves a half superband — it runs the same
-# band body statically with n_groups=2 (groups 2/3 would compute from
-# stale scratch and, worse, STORE into y1's zeroed bottom halo, which
-# stage-1's halo reads rely on).
-# ---------------------------------------------------------------------------
-
-
-def _stem_kernel_planar2_packed(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
-                                o_ref, xb, s0, y1, s1, sem, *,
-                                q, cin, c_mid, c_out, k0_pad, k1,
-                                n_sb, rem_groups, n_bands1, precision,
-                                n_e, n_o, sdtype, pack1):
-    """K-packed phase-grouped double-fused stem kernel (module comment
-    above). Lane layouts identical to ``_stem_kernel_planar2_phase``;
-    only stage-0's band/K structure differs (64-row superbands, 4
-    groups packed into K). ``pack1`` additionally M-packs stage 1: two
-    contiguous 8-row halves of each 16-row band share one dot via a
-    block-diagonal [2*c_out, 2*K1] weight tile — 3 K-passes over half
-    the columns instead of 2 over all of them (~25% fewer
-    column-passes)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b = pl.program_id(0)
-    a0 = a0_ref[...]                      # [4*c_mid, 4*K0_pad] blockdiag
-    bias0 = b0_ref[...]                   # [4*c_mid, 1]
-    a1 = a1_ref[...]                      # [c_out, K1]
-    bias1 = b1_ref[...]                   # [c_out, 1]
-    wq = 4 * q
-    w_mid = 2 * q
-
-    # zero each group's K-padding rows ONCE: their weights are zero, but
-    # 0 * stale-inf/nan garbage would still poison the accumulation
-    if k0_pad > 9 * cin:
-        for g in range(4):
-            s0[g * k0_pad + 9 * cin:(g + 1) * k0_pad] = jnp.zeros(
-                (k0_pad - 9 * cin, 16, wq), sdtype)
-    if rem_groups and not n_sb:
-        # epilogue-only (h < 64): groups >= rem_groups are never filled;
-        # their weights are zero but 0 * uninitialized-NaN would poison
-        # every output row, so zero them once
-        s0[rem_groups * k0_pad:] = jnp.zeros(
-            ((4 - rem_groups) * k0_pad, 16, wq), sdtype)
-    y1[:, 0:8] = jnp.zeros((c_mid, 8, w_mid), jnp.float32)
-    pooled_rows = 8 * (4 * n_sb + rem_groups)
-    tail = y1.shape[1] - (8 + pooled_rows)
-    if tail:
-        y1[:, 8 + pooled_rows:] = jnp.zeros((c_mid, tail, w_mid),
-                                            jnp.float32)
-
-    # hoisted masks (band-invariant)
-    lane0 = jax.lax.broadcasted_iota(jnp.int32, (72, wq), 1)
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (32, w_mid), 1)
-    lanep = jax.lax.broadcasted_iota(jnp.int32, (4 * c_mid, 8, q), 2)
-
-    def in_dma(i, slot):
-        return pltpu.make_async_copy(
-            x_ref.at[b, :, pl.ds(64 * i, 72)], xb.at[slot], sem.at[slot])
-
-    def superband(i, slot, n_groups):
-        """Fill n_groups' K-blocks from xb[slot], one packed dot, pool,
-        store each group's 8 pooled rows. ``i``/``slot`` may be traced
-        (fori) or static (epilogue); ``n_groups`` is static."""
-        for c in range(cin):
-            big = xb[slot, c]                              # [72, wq]
-            for v in range(3):
-                if v == 0:
-                    bv = big
-                else:
-                    sh = (4 - v) * q
-                    t = pltpu.roll(big, sh, 1)         # src = dest + v*q
-                    fx = pltpu.roll(big, sh - 1, 1)    # src = dest + v*q+1
-                    bv = jnp.where(lane0 >= (4 - v) * q, fx, t)
-                for u in range(3):
-                    sv, du = _u_shifted(bv, u, sdtype)
-                    for g in range(n_groups):
-                        s0[g * k0_pad + c * 9 + u * 3 + v] = \
-                            sv[16 * g + du:16 * g + du + 16]
-        z = s0[...].reshape(4 * k0_pad, 16 * wq)
-        y = jax.lax.dot_general(
-            a0, z, (((1,), (0,)), ((), ())), precision=precision,
-            preferred_element_type=jnp.float32)        # [4*c_mid, 16wq]
-        y = y + bias0
-        y = jnp.where(y > 0, y, 0.1 * y)
-        y3 = y.reshape(4 * c_mid, 8, 2 * wq)
-        rmax = jnp.maximum(y3[:, :, :wq], y3[:, :, wq:])
-        pe = jnp.maximum(rmax[:, :, 0:q], rmax[:, :, q:2 * q])
-        po = jnp.maximum(rmax[:, :, 2 * q:3 * q], rmax[:, :, 3 * q:])
-        pe = jnp.where(lanep < n_e, pe, 0.0)
-        po = jnp.where(lanep < n_o, po, 0.0)
-        for g in range(n_groups):
-            r = pl.multiple_of(8 + 32 * i + 8 * g, 8)
-            blk_po = po[g * c_mid:(g + 1) * c_mid]     # [c_mid, 8, q]
-            blk_pe = pe[g * c_mid:(g + 1) * c_mid]
-            y1[:, pl.dslice(r, 8), 0:q] = pltpu.roll(blk_po, 1, 2)
-            y1[:, pl.dslice(r, 8), q:2 * q] = blk_pe
-
-    if n_sb:
-        in_dma(0, 0).start()
-
-        def band0(i, _):
-            slot = jax.lax.rem(i, 2)
-
-            @pl.when(i + 1 < n_sb)
-            def _():
-                in_dma(i + 1, 1 - slot).start()
-
-            in_dma(i, slot).wait()
-            superband(i, slot, 4)
-            return 0
-
-        jax.lax.fori_loop(0, n_sb, band0, 0)
-
-    if rem_groups:
-        # half superband: rows 64*n_sb .. h-1 (+2 halo) — a short DMA
-        # into the front of a revolving buffer, groups 0..rem_groups-1
-        slot = n_sb % 2
-        ep_rows = 16 * rem_groups + 8
-        cp = pltpu.make_async_copy(
-            x_ref.at[b, :, pl.ds(64 * n_sb, ep_rows)],
-            xb.at[slot, :, pl.ds(0, ep_rows)], sem.at[slot])
-        cp.start()
-        cp.wait()
-        superband(n_sb, slot, rem_groups)
-
-    def band1(i, _):
-        r1 = pl.multiple_of(16 * i, 8)
-        for c in range(c_mid):
-            big = y1[c, pl.dslice(r1, 32)]                 # [32, 2q] f32
-            for v in range(3):
-                if v == 0:
-                    bv = big
-                elif v == 1:
-                    t = pltpu.roll(big, q, 1)          # src = dest + q
-                    fx = pltpu.roll(big, q - 1, 1)     # src = dest + q+1
-                    bv = jnp.where(lane1 >= q, fx, t)
-                else:
-                    # src = dest+1 per block; the two block-crossing
-                    # lanes land at m = q-1, beyond the valid range
-                    bv = pltpu.roll(big, 2 * q - 1, 1)
-                for u in range(3):
-                    if pack1:
-                        for g in range(2):
-                            s1[g * k1 + c * 9 + u * 3 + v] = bv[
-                                u + 7 + 8 * g:u + 15 + 8 * g].astype(sdtype)
-                    else:
-                        s1[c * 9 + u * 3 + v] = bv[u + 7:u + 23].astype(
-                            sdtype)
-        if pack1:
-            z = s1[...].reshape(2 * k1, 8 * w_mid)
-            y = jax.lax.dot_general(
-                a1, z, (((1,), (0,)), ((), ())), precision=precision,
-                preferred_element_type=jnp.float32)    # [2*c_out, 8*2q]
-            y = y + bias1
-            y = jnp.where(y > 0, y, 0.1 * y)
-            y3 = y.reshape(2 * c_out, 4, 2 * w_mid)
-            rmax = jnp.maximum(y3[:, :, :w_mid], y3[:, :, w_mid:])
-            pooled = jnp.maximum(rmax[:, :, 0:q], rmax[:, :, q:])
-            both = jnp.concatenate([pooled[:c_out], pooled[c_out:]],
-                                   axis=1)             # [c_out, 8, q]
-        else:
-            z = s1[...].reshape(k1, 16 * w_mid)
-            y = jax.lax.dot_general(
-                a1, z, (((1,), (0,)), ((), ())), precision=precision,
-                preferred_element_type=jnp.float32)    # [c_out, 16*2q]
-            y = y + bias1
-            y = jnp.where(y > 0, y, 0.1 * y)
-            y3 = y.reshape(c_out, 8, 2 * w_mid)
-            rmax = jnp.maximum(y3[:, :, :w_mid], y3[:, :, w_mid:])
-            both = jnp.maximum(rmax[:, :, 0:q], rmax[:, :, q:])
-        o_ref[:, pl.dslice(pl.multiple_of(8 * i, 8), 8)] = both.astype(
-            o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, n_bands1, band1, 0)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("interpret", "out_dtype", "precision",
-                                    "scratch_dtype", "pack_stage1"))
-def fused_stem2_packed(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
-                       precision="highest", scratch_dtype=None,
-                       pack_stage1=True):
-    """K-packed spelling of ``fused_stem2_phase`` — same contract:
-
-    [N, H, W, C] -> [N, H/4, W/4, D1] ==
-        maxpool2(leaky(conv3x3_w1(maxpool2(leaky(conv3x3_w0(x) + b0)))
-                 + b1))
-
-    Stage-0 processes 64-row superbands with four 16-row groups packed
-    into the MXU's K dimension via a block-diagonal weight tile (module
-    comment above): 4x fewer streamed columns at 16x the useful
-    MACs/cycle. Numerics are identical to ``fused_stem2_phase`` at the
-    same ``precision``/``scratch_dtype`` (same dots, same operand
-    rounding — the packing only regroups independent output rows).
-
-    ``scratch_dtype=bfloat16`` (only with precision="default", where it
-    is bit-identical — DEFAULT dots round inputs to bf16 regardless)
-    halves the fill-copy traffic AND the s0/xb/s1 residency: the packed
-    s0 is [4*K0, 16, W] (4 MB f32 at 416px), so bf16 scratches keep the
-    whole resident set comfortably inside the 16 MB scoped budget.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, h, w_in, cin = x.shape
-    c_mid = w0.shape[3]
-    c_out = w1.shape[3]
-    assert w0.shape[:3] == (3, 3, cin), w0.shape
-    assert w1.shape[:3] == (3, 3, c_mid), w1.shape
-    assert h % 32 == 0 and w_in % 4 == 0, (h, w_in)
-    out_dtype = jnp.dtype(out_dtype or x.dtype)
-    store_dtype = (jnp.dtype(jnp.float32) if out_dtype == jnp.float16
-                   else out_dtype)
-    sdtype = jnp.dtype(scratch_dtype or jnp.float32)
-    assert sdtype == jnp.float32 or precision == "default", \
-        "bf16 scratches change numerics unless the dots are DEFAULT"
-    w_pad = _round_up(w_in + 2, 128)
-    assert w_pad % 4 == 0
-    q = w_pad // 4
-    k0_pad = _round_up(9 * cin, 8)
-    k1 = _round_up(9 * c_mid, 8)
-    assert k1 == 9 * c_mid, "c_mid*9 must be sublane-aligned"
-    n_sb = h // 64
-    rem_groups = (h % 64) // 16                  # 0 or 2 given h % 32 == 0
-    n_bands1 = h // 2 // 16
-    h_mid = 16 * (n_bands1 - 1) + 32
-    prec = _PRECISIONS[precision]
-    n_e = (w_in // 2 + 1) // 2
-    n_o = w_in // 2 - n_e
-
-    # phase-grouped input: lane d*q + m = padded col 4m+d (as phase)
-    xpf = jnp.pad(x.astype(jnp.float32).transpose(0, 3, 1, 2),
-                  ((0, 0), (0, 0), (1, 7), (1, 4 * q - w_in - 1)))
-    xq = (xpf.reshape(n, cin, h + 8, q, 4).transpose(0, 1, 2, 4, 3)
-          .reshape(n, cin, h + 8, 4 * q).astype(sdtype))
-    a0 = jnp.pad(w0.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
-        c_mid, 9 * cin), ((0, 0), (0, k0_pad - 9 * cin)))
-    a0bd = jnp.kron(jnp.eye(4, dtype=jnp.float32), a0).astype(sdtype)
-    b0bd = jnp.tile(b0.astype(jnp.float32).reshape(c_mid, 1), (4, 1))
-    a1 = w1.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(c_out, k1)
-    b1c = b1.astype(jnp.float32).reshape(c_out, 1)
-    if pack_stage1:
-        a1 = jnp.kron(jnp.eye(2, dtype=jnp.float32), a1)   # [2c_out, 2K1]
-        b1c = jnp.tile(b1c, (2, 1))
-    a1 = a1.astype(sdtype)
-
-    kernel = functools.partial(
-        _stem_kernel_planar2_packed, q=q, cin=cin, c_mid=c_mid,
-        c_out=c_out, k0_pad=k0_pad, k1=k1, n_sb=n_sb,
-        rem_groups=rem_groups, n_bands1=n_bands1, precision=prec,
-        n_e=n_e, n_o=n_o, sdtype=sdtype, pack1=pack_stage1)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),             # xq: HBM + DMA
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, c_out, h // 4, q),
-                               lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, c_out, h // 4, q),
-                                       store_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, cin, 72, 4 * q), sdtype),          # xb
-            pltpu.VMEM((4 * k0_pad, 16, 4 * q), sdtype),      # s0
-            pltpu.VMEM((c_mid, h_mid, 2 * q), jnp.float32),   # y1
-            pltpu.VMEM((2 * k1, 8, 2 * q) if pack_stage1
-                       else (k1, 16, 2 * q), sdtype),         # s1
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
-    )(xq, a0bd, b0bd, a1, b1c)
-    return (out[:, :, :, :w_in // 4].transpose(0, 2, 3, 1)
-            .astype(out_dtype))
-
 
 # ---------------------------------------------------------------------------
-# s2d stage-1: 2x2 space-to-depth re-expression of the SECOND stage.
-#
-# Stage 1 (conv3x3 s1 + maxpool2 on the 208-res intermediate) is the
-# packed kernel's residual cost: per 16-row band it fills a [2*K1, 8, 2q]
-# patch scratch with 144 sublane-sliced copies and streams a
-# [2c_out, 288] x [288, 8*2q] dot — 3 K-passes at 50% M utilization over
-# w/2-lane columns. The s2d form indexes the SAME math by pooled-output
-# position instead of conv position:
-#
-#   X[2R+rho, 2C+gam] =: P_{rho,gam}[R, C]      (four 104-res phase grids)
-#   Y[2I+a, 2J+b]      = G_ab[I-(1-a), J-(1-b)]
-#   G_ab[Ihat, Jhat]   = sum_{di,dj in {0,1}} W'_ab[di,dj,:]
-#                          . P_phase[Ihat+di, Jhat+dj]
-#   O[I, J]            = max_ab leaky(G_ab + b1)[I-1+a, J-1+b]
-#
-# i.e. every conv tap (u, v) lands in a 2x2x(4*c_mid) patch around the
-# pooled output — K = 16*c_mid = 256 exactly (no padding rows), and the
-# four pool positions (a, b) become four M-blocks of one [4*c_out, 256]
-# weight tile: a FULL-M, two-K-tile dot over 104-valid-lane columns,
-# ~3x fewer MXU column-passes than the M-packed band dot, with the pool
-# reduced to two lane rolls + sublane-shifted maxes of the dot result.
-# Patch fill is 4 contiguous [9, q] copies + one lane roll per phase
-# channel — ~35% less VPU work than the v-shift fill (measured in ops,
-# interpret; on-chip pending).
-#
-# Stage 0 is unchanged (K-packed superbands) except the store: the pool
-# writes the four (row-parity x col-parity) phase grids directly — the
-# row split falls out of reshaping the conv rows [16, wq] as [4, 4wq]
-# (pooled-even rows = lane blocks 0/1, odd = 2/3), so no strided sublane
-# ops are needed anywhere.
-#
-# Reference role: the cuDNN fused conv+pool stem blocks,
-# module3_our_dataset/yolov3/models.py:12-79.
+# Mosaic-REJECTED variants (K-packed stage 0, s2d stage 1, s2d8, the
+# stage-4+6 deep pair) are quarantined in ops/stem_pallas_rejected.py —
+# interpret-exact, cannot compile on this libtpu (see that module's
+# docstring for the failure analyses). Re-exported here so the darknet
+# variant dispatch and the tests keep one import surface.
 # ---------------------------------------------------------------------------
-
-
-def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
-                             o_ref, xb, s0, y1s, s1, sem, *,
-                             q, cin, c_mid, c_out, k0_pad, h4, hv4, g0,
-                             n_sb, rem_groups, n_bands1, precision,
-                             n_e, n_o, sdtype):
-    """s2d-stage-1 double-fused stem kernel (module comment above).
-
-    ``g0``: stage-0 groups per superband (4 = the packed kernel's
-    layout, M = 4*c_mid; 8 = full-M 128-row superbands, double the
-    useful MACs/cycle at double the s0/xb residency — bf16 scratches
-    only; 2 = the deep-pair tiling, M = 2*c_mid — a full 128-row M
-    tile at c_mid=64 with half the block-diagonal K waste of g0=4).
-
-    ``hv4``: VALID phase-grid rows (h//4 of the unpadded input). When
-    the wrapper row-pads h up to the 32-grid, stage 0 writes garbage
-    (leaky(bias0)) into phase rows hv4..h4-1 — those are re-zeroed
-    after stage 0 so stage 1 sees the true zero conv halo at the last
-    valid output row instead of pooled padding.
-
-    y1s: [4*c_mid, h4+16, q] f32 phase grids — block (2*rho+gam)*c_mid+c,
-    row R+8, lane C = stage-1 input pixel (2R+rho, 2C+gam). Rows 0:8 and
-    8+h4: stay zero (the conv's row halo); lanes >= n_e/n_o are zeroed by
-    the pool masks (the col halo and the dj-roll wrap both rely on it).
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b = pl.program_id(0)
-    a0 = a0_ref[...]                      # [g0*c_mid, g0*K0_pad] blockdiag
-    bias0 = b0_ref[...]                   # [g0*c_mid, 1]
-    a1 = a1_ref[...]                      # [4*c_out, 16*c_mid]
-    bias1 = b1_ref[...]                   # [4*c_out, 1]
-    wq = 4 * q
-    sb_rows = 16 * g0
-
-    if k0_pad > 9 * cin:
-        for g in range(g0):
-            s0[g * k0_pad + 9 * cin:(g + 1) * k0_pad] = jnp.zeros(
-                (k0_pad - 9 * cin, 16, wq), sdtype)
-    if rem_groups and not n_sb:
-        s0[rem_groups * k0_pad:] = jnp.zeros(
-            ((g0 - rem_groups) * k0_pad, 16, wq), sdtype)
-    y1s[:, 0:8] = jnp.zeros((4 * c_mid, 8, q), jnp.float32)
-    y1s[:, 8 + h4:] = jnp.zeros((4 * c_mid, 8, q), jnp.float32)
-
-    lane0 = jax.lax.broadcasted_iota(jnp.int32, (sb_rows + 8, wq), 1)
-    lanep = jax.lax.broadcasted_iota(jnp.int32, (g0 * c_mid, 4, q), 2)
-
-    def in_dma(i, slot):
-        return pltpu.make_async_copy(
-            x_ref.at[b, :, pl.ds(sb_rows * i, sb_rows + 8)], xb.at[slot],
-            sem.at[slot])
-
-    def superband(i, slot, n_groups):
-        """Same fill + packed dot as _stem_kernel_planar2_packed; the
-        pool stores four phase grids instead of two parity blocks."""
-        for c in range(cin):
-            big = xb[slot, c]                        # [sb_rows + 8, wq]
-            for v in range(3):
-                if v == 0:
-                    bv = big
-                else:
-                    sh = (4 - v) * q
-                    t = pltpu.roll(big, sh, 1)         # src = dest + v*q
-                    fx = pltpu.roll(big, sh - 1, 1)    # src = dest + v*q+1
-                    bv = jnp.where(lane0 >= (4 - v) * q, fx, t)
-                for u in range(3):
-                    sv, du = _u_shifted(bv, u, sdtype)
-                    for g in range(n_groups):
-                        s0[g * k0_pad + c * 9 + u * 3 + v] = \
-                            sv[16 * g + du:16 * g + du + 16]
-        z = s0[...].reshape(g0 * k0_pad, 16 * wq)
-        y = jax.lax.dot_general(
-            a0, z, (((1,), (0,)), ((), ())), precision=precision,
-            preferred_element_type=jnp.float32)     # [g0*c_mid, 16wq]
-        y = y + bias0
-        y = jnp.where(y > 0, y, 0.1 * y)
-        # conv rows [16, wq] as [4, 4wq]: pooled row t = 2s+e pairs conv
-        # rows (4s+2e, 4s+2e+1) = lane blocks 2e, 2e+1 of sublane s
-        y4 = y.reshape(g0 * c_mid, 4, 4 * wq)
-        ve = jnp.maximum(y4[:, :, 0:wq], y4[:, :, wq:2 * wq])
-        vo = jnp.maximum(y4[:, :, 2 * wq:3 * wq], y4[:, :, 3 * wq:])
-        for ph, vr in ((0, ve), (1, ve), (2, vo), (3, vo)):
-            gam = ph % 2
-            if gam == 0:
-                p = jnp.maximum(vr[:, :, 0:q], vr[:, :, q:2 * q])
-                p = jnp.where(lanep < n_e, p, 0.0)
-            else:
-                p = jnp.maximum(vr[:, :, 2 * q:3 * q], vr[:, :, 3 * q:])
-                p = jnp.where(lanep < n_o, p, 0.0)
-            cat = jnp.concatenate(
-                [p[g * c_mid:(g + 1) * c_mid] for g in range(n_groups)],
-                axis=1)                                # [c_mid, 4*ng, q]
-            r = pl.multiple_of(8 + 4 * g0 * i, 8)
-            y1s[ph * c_mid:(ph + 1) * c_mid,
-                pl.dslice(r, 4 * n_groups)] = cat
-
-    if n_sb:
-        in_dma(0, 0).start()
-
-        def band0(i, _):
-            slot = jax.lax.rem(i, 2)
-
-            @pl.when(i + 1 < n_sb)
-            def _():
-                in_dma(i + 1, 1 - slot).start()
-
-            in_dma(i, slot).wait()
-            superband(i, slot, g0)
-            return 0
-
-        jax.lax.fori_loop(0, n_sb, band0, 0)
-
-    if rem_groups:
-        slot = n_sb % 2
-        ep_rows = 16 * rem_groups + 8
-        cp = pltpu.make_async_copy(
-            x_ref.at[b, :, pl.ds(sb_rows * n_sb, ep_rows)],
-            xb.at[slot, :, pl.ds(0, ep_rows)], sem.at[slot])
-        cp.start()
-        cp.wait()
-        superband(n_sb, slot, rem_groups)
-
-    if hv4 < h4:
-        # row-padded input (h off the 32-grid): stage 0 pooled the zero
-        # pad rows into leaky(bias0) values — restore the true zero conv
-        # halo before stage 1 reads them (docstring above)
-        y1s[:, 8 + hv4:8 + h4] = jnp.zeros(
-            (4 * c_mid, h4 - hv4, q), jnp.float32)
-
-    def band1(i, _):
-        r8 = pl.multiple_of(8 * i, 8)
-        for ch in range(4 * c_mid):
-            # rows Ihat+8 for Ihat in [8i-1, 8i+8]: one sublane-aligned
-            # row from the previous 8-block + nine from the next 16
-            top8 = y1s[ch, pl.dslice(r8, 8)]
-            main = y1s[ch, pl.dslice(r8 + 8, 16)]
-            u10 = jnp.concatenate([top8[7:8], main[0:9]], axis=0)
-            r10 = pltpu.roll(u10, 1, 1)       # lane j <- P col j-1
-            s1[4 * ch + 0] = r10[0:9].astype(sdtype)     # (di 0, dj 0)
-            s1[4 * ch + 1] = u10[0:9].astype(sdtype)     # (di 0, dj 1)
-            s1[4 * ch + 2] = r10[1:10].astype(sdtype)    # (di 1, dj 0)
-            s1[4 * ch + 3] = u10[1:10].astype(sdtype)    # (di 1, dj 1)
-        z = s1[...].reshape(16 * c_mid, 9 * q)
-        y = jax.lax.dot_general(
-            a1, z, (((1,), (0,)), ((), ())), precision=precision,
-            preferred_element_type=jnp.float32)        # [4*c_out, 9q]
-        y = y + bias1
-        y = jnp.where(y > 0, y, 0.1 * y)
-        g4 = y.reshape(4 * c_out, 9, q)
-        g00 = g4[0:c_out]
-        g01 = pltpu.roll(g4[c_out:2 * c_out], q - 1, 2)    # lane j <- j+1
-        g10 = g4[2 * c_out:3 * c_out]
-        g11 = pltpu.roll(g4[3 * c_out:], q - 1, 2)
-        out = jnp.maximum(jnp.maximum(g00[:, 0:8], g01[:, 0:8]),
-                          jnp.maximum(g10[:, 1:9], g11[:, 1:9]))
-        o_ref[:, pl.dslice(r8, 8)] = out.astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, n_bands1, band1, 0)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("interpret", "out_dtype", "precision",
-                                    "scratch_dtype", "groups0"))
-def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
-                    precision="highest", scratch_dtype=None, groups0=4):
-    """s2d-stage-1 spelling of ``fused_stem2_packed`` — same contract:
-
-    [N, H, W, C] -> [N, H/4, W/4, D1] ==
-        maxpool2(leaky(conv3x3_w1(maxpool2(leaky(conv3x3_w0(x) + b0)))
-                 + b1))
-
-    Stage 0 runs the K-packed superbands unchanged; stage 1 becomes one
-    [4*c_out, 16*c_mid] x [16*c_mid, 9q] full-M dot per 8-output-row
-    band over 2x2-space-to-depth phase grids (module comment above).
-    Numerics match ``fused_stem2_packed`` at the same ``precision``/
-    ``scratch_dtype``: identical products, identical rounding — the s2d
-    indexing only regroups which dot computes which conv output.
-
-    ``groups0=8`` packs EIGHT 16-row groups per stage-0 superband
-    (full-M [8*c_mid, 8*K0] dot, 2x the useful MACs/cycle of the
-    4-group tile at 2x the s0/xb VMEM) — requires bf16 scratches to
-    stay inside the 16 MB scoped budget at 416 px. ``groups0=2`` is the
-    deep-pair tiling (stages 4+6: cin 32, c_mid 64 — 2*c_mid fills the
-    128-row M tile exactly, with half the block-diagonal K waste of 4).
-
-    Heights off the 32-row grid (the deep pair's 104 px) are zero-padded
-    up to it; the kernel re-zeroes the padded phase rows after stage 0
-    (true conv halo at the bottom boundary) and the garbage pooled rows
-    are sliced off here.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, h, w_in, cin = x.shape
-    c_mid = w0.shape[3]
-    c_out = w1.shape[3]
-    assert w0.shape[:3] == (3, 3, cin), w0.shape
-    assert w1.shape[:3] == (3, 3, c_mid), w1.shape
-    assert h % 4 == 0 and w_in % 4 == 0, (h, w_in)
-    h_eff = _round_up(h, 32)
-    out_dtype = jnp.dtype(out_dtype or x.dtype)
-    store_dtype = (jnp.dtype(jnp.float32) if out_dtype == jnp.float16
-                   else out_dtype)
-    sdtype = jnp.dtype(scratch_dtype or jnp.float32)
-    assert sdtype == jnp.float32 or precision == "default", \
-        "bf16 scratches change numerics unless the dots are DEFAULT"
-    g0 = int(groups0)
-    assert g0 in (2, 4, 8), groups0
-    w_pad = _round_up(w_in + 2, 128)
-    assert w_pad % 4 == 0
-    q = w_pad // 4
-    k0_pad = _round_up(9 * cin, 8)
-    n_sb = h_eff // (16 * g0)
-    rem_groups = (h_eff % (16 * g0)) // 16       # even, given h_eff % 32 == 0
-    h4 = h_eff // 4
-    hv4 = h // 4
-    n_bands1 = h4 // 8
-    prec = _PRECISIONS[precision]
-    n_e = (w_in // 2 + 1) // 2
-    n_o = w_in // 2 - n_e
-
-    xpf = jnp.pad(x.astype(jnp.float32).transpose(0, 3, 1, 2),
-                  ((0, 0), (0, 0), (1, 7 + h_eff - h),
-                   (1, 4 * q - w_in - 1)))
-    xq = (xpf.reshape(n, cin, h_eff + 8, q, 4).transpose(0, 1, 2, 4, 3)
-          .reshape(n, cin, h_eff + 8, 4 * q).astype(sdtype))
-    a0 = jnp.pad(w0.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
-        c_mid, 9 * cin), ((0, 0), (0, k0_pad - 9 * cin)))
-    a0bd = jnp.kron(jnp.eye(g0, dtype=jnp.float32), a0).astype(sdtype)
-    b0bd = jnp.tile(b0.astype(jnp.float32).reshape(c_mid, 1), (g0, 1))
-
-    # W'_ab[o, k]: tap (u, v) of pool position (a, b) lands at phase
-    # (rho, gam) = ((a-1+u) % 2, (b-1+v) % 2), patch offset
-    # (di, dj) = (du + 1 - a, dv + 1 - b), k = 4*(phase*c_mid + c)
-    # + 2*di + dj (divmod gives the floor pair: -1 = 2*(-1) + 1)
-    wf = w1.astype(jnp.float32)
-    a1s = jnp.zeros((4 * c_out, 16 * c_mid), jnp.float32)
-    for a in (0, 1):
-        for bb in (0, 1):
-            ab = 2 * a + bb
-            for u in range(3):
-                du, rho = divmod(a - 1 + u, 2)
-                di = du + 1 - a
-                for v in range(3):
-                    dv, gam = divmod(bb - 1 + v, 2)
-                    dj = dv + 1 - bb
-                    ph = 2 * rho + gam
-                    col0 = 4 * ph * c_mid + 2 * di + dj
-                    a1s = a1s.at[ab * c_out:(ab + 1) * c_out,
-                                 col0:col0 + 4 * c_mid:4].set(wf[u, v].T)
-    a1s = a1s.astype(sdtype)
-    b1s = jnp.tile(b1.astype(jnp.float32).reshape(c_out, 1), (4, 1))
-
-    kernel = functools.partial(
-        _stem_kernel_planar2_s2d, q=q, cin=cin, c_mid=c_mid,
-        c_out=c_out, k0_pad=k0_pad, h4=h4, hv4=hv4, g0=g0, n_sb=n_sb,
-        rem_groups=rem_groups, n_bands1=n_bands1, precision=prec,
-        n_e=n_e, n_o=n_o, sdtype=sdtype)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),             # xq: HBM + DMA
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, c_out, h4, q),
-                               lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, c_out, h4, q), store_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, cin, 16 * g0 + 8, 4 * q), sdtype),  # xb
-            pltpu.VMEM((g0 * k0_pad, 16, 4 * q), sdtype),      # s0
-            pltpu.VMEM((4 * c_mid, h4 + 16, q), jnp.float32),  # y1s
-            pltpu.VMEM((16 * c_mid, 9, q), sdtype),            # s1
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
-    )(xq, a0bd, b0bd, a1s, b1s)
-    return (out[:, :, :hv4, :w_in // 4].transpose(0, 2, 3, 1)
-            .astype(out_dtype))
+from millieye_tpu.ops.stem_pallas_rejected import (  # noqa: E402,F401
+    fused_stem2_packed, fused_stem2_s2d)
