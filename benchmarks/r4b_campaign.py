@@ -108,6 +108,14 @@ def main():
                             "MILLIEYE_PALLAS_STEM": "1"})
     record("details_k256", rc, dt)
 
+    # plain-bf16 tail decomposition: refreshes the einsum-tail rows and
+    # retires the stale negative-"residual" key under its own dtype
+    # prefix (the r4 run profiled under MILLIEYE_SERVING=pallas_max, a
+    # different key prefix, so the old row survived)
+    rc, tail, dt = run("fusion_tail", ["benchmarks/fusion_profile.py",
+                                       "tail"], 4200)
+    record("fusion_tail", rc, dt)
+
     rc, tail, dt = run("sufficiency", ["benchmarks/sufficiency_check.py"],
                        4800)
     record("sufficiency", rc, dt, tail=tail[-300:])
