@@ -43,11 +43,22 @@ def main():
     restored = load_checkpoint(ckpt, tpl)
     params, state = restored["params"], restored["state"]
 
+    from millieye_tpu.ops.nms import batched_nms
+
     @jax.jit
     def decode(params, state, images):
         d = model.darknet.apply(params["darknet"], state["darknet"],
                                 images)
         return d["detections"]
+
+    @jax.jit
+    def survivor_counts(det):
+        # post-NMS keep count per frame at the serving operating point:
+        # evidence for how small max_det can go losslessly (the RoI crop
+        # slice is linear in the padded row count)
+        _, valid = batched_nms(det, 0.2, model.cfg.nms_thresh,
+                               max_det=200, pre_top_k=512)
+        return valid.sum(-1)
 
     # the held-out dark split is the hard case (lower conf scores)
     report = {"conf": 0.2, "ckpt": ckpt}
@@ -56,6 +67,7 @@ def main():
             SyntheticScenes(400, seed=777, illumination=(light,)))
         suff = {256: 0, 512: 0}
         n = 0
+        counts = []
         for batch in cache.loader(32):
             b = fusion_device_batch(batch, IMG)
             det = decode(params, state, b["images"])
@@ -64,11 +76,17 @@ def main():
                     det, 0.2, iou_thresh=model.cfg.nms_thresh,
                     max_det=200, pre_top_k=k))
                 suff[k] += int(ok.sum())
+            counts.append(np.asarray(survivor_counts(det)))
             n += int(det.shape[0])
+        counts = np.concatenate(counts)
         report[f"frames_{light}"] = n
         for k in (256, 512):
             report[f"sufficient_k{k}_{light}_pct"] = round(
                 100.0 * suff[k] / n, 2)
+        report[f"post_nms_survivors_{light}"] = {
+            "p50": int(np.percentile(counts, 50)),
+            "p99": int(np.percentile(counts, 99)),
+            "max": int(counts.max())}
         print({k: v for k, v in report.items() if light in str(k)},
               flush=True)
 
