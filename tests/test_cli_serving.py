@@ -67,7 +67,8 @@ def test_serving_overrides_shape():
                                     "pallas_max4", "pallas_packed",
                                     "pallas_s2d", "pallas_s2d8",
                                     "pallas_deep", "pallas_pair2",
-                                    "pallas_maxv", "pallas_lat", "s2d",
+                                    "pallas_maxv", "pallas_max_k256",
+                                    "pallas_lat", "s2d",
                                     "bf16_s2d", "int8", "int8_acts"}
     # the round-4 RoI/latency presets carry their FusionConfig overrides
     _, _, _, _, over_v = serving_overrides("pallas_maxv")
