@@ -233,7 +233,15 @@ def main():
                 ("bfloat16", "pallas_max_k256", (), False, False,
                  (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
                  "default", "phase", "pallas", "first", "dot",
-                 {"pre_nms_top_k": 256}))
+                 {"pre_nms_top_k": 256}),
+                # + detections_per_img 64 (the accuracy tables' own
+                # operating point — quantized_eval scores at max_det=64;
+                # post-NMS survivors peak at 14 at conf 0.2): the RoI
+                # slice shrinks 232 -> 96 proposal rows
+                ("bfloat16", "pallas_max_d64", (), False, False,
+                 (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
+                 "default", "phase", "pallas", "first", "dot",
+                 {"pre_nms_top_k": 256, "max_det": 64}))
     global _DROPPED_STALE
     # comma-separated EXACT variant names: substring matching would pull
     # pallas_s2d8 into a MILLIEYE_ONLY=pallas_s2d rerun — an extra ~10 min

@@ -68,6 +68,7 @@ def test_serving_overrides_shape():
                                     "pallas_s2d", "pallas_s2d8",
                                     "pallas_deep", "pallas_pair2",
                                     "pallas_maxv", "pallas_max_k256",
+                                    "pallas_max_d64",
                                     "pallas_lat", "s2d",
                                     "bf16_s2d", "int8", "int8_acts"}
     # the round-4 RoI/latency presets carry their FusionConfig overrides
@@ -75,6 +76,8 @@ def test_serving_overrides_shape():
     assert over_v["roi_reduce"] == "vpu"
     _, _, _, _, over_l = serving_overrides("pallas_lat")
     assert over_l["pre_nms_top_k"] == 256 and over_l["nms_use_blocked"]
+    _, _, _, _, over_d = serving_overrides("pallas_max_d64")
+    assert over_d["pre_nms_top_k"] == 256 and over_d["max_det"] == 64
     s2d, hi, store, pkw, over = serving_overrides("pallas_stem")
     assert pkw == {"pallas_stem": (0, 2), "pallas_pair": False,
                    "pallas_precision": "highest",

@@ -158,3 +158,44 @@ def test_weighted_loss_helpers_ignore_unsampled_poison():
                           [0.6, 0.4], [0.1, 0.9]])
     labels = jnp.asarray([[0.0, 1.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
     assert np.isfinite(float(focal_loss(inputs, labels, w)))
+
+
+def test_max_det_truncation_exact(rng):
+    """Premise of the pallas_max_d64 serving preset: when every frame's
+    post-NMS survivor count is below the smaller cap (measured peak 14 at
+    the serving conf 0.2, PRE_TOPK_SUFFICIENCY.json post_nms_survivors),
+    shrinking ``max_det`` only removes always-invalid padding rows — the
+    valid output rows are bit-identical (image rows are the same prefix
+    of the objectness-ranked NMS keep list; radar rows and the heads are
+    row-independent)."""
+    darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S),
+                      img_size=S)
+    # conf tuned so the random-weight net's survivors fit the small cap
+    # (the trained net at the serving conf 0.2 peaks at 14 of 64)
+    kw = dict(conf_thresh=0.62, max_radar=4, pre_nms_top_k=128,
+              class_idx=8, heads_dtype="bfloat16", roi_impl="pallas",
+              roi_precision="default")
+    m_big = FusionNetwork(darknet, FusionConfig(max_det=48, **kw))
+    m_small = FusionNetwork(darknet, FusionConfig(max_det=12, **kw))
+    params, state = m_big.init(jax.random.PRNGKey(0))
+
+    images, maps, rb, rmask = inputs(rng)
+    o_big = m_big.apply(params, state, images, maps, rb, rmask, mode=0)
+    o_small = m_small.apply(params, state, images, maps, rb, rmask, mode=0)
+
+    vb = np.asarray(o_big["valid"])
+    vs = np.asarray(o_small["valid"])
+    bb = np.asarray(o_big["boxes"])
+    bs = np.asarray(o_small["boxes"])
+    # precondition: the big build's image survivors fit in the small cap
+    img_survivors = vb[:, :48].sum(axis=1)
+    assert (img_survivors < 12).all(), img_survivors
+    assert (vb.sum(axis=1) == vs.sum(axis=1)).all()
+    # the valid rows are the same multiset, bitwise (order may differ
+    # under the final priority sort's handling of invalid rows)
+    for b in range(bb.shape[0]):
+        rows_b = bb[b][vb[b]]
+        rows_s = bs[b][vs[b]]
+        order_b = np.lexsort(rows_b.T)
+        order_s = np.lexsort(rows_s.T)
+        np.testing.assert_array_equal(rows_b[order_b], rows_s[order_s])
