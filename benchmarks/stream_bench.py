@@ -84,9 +84,15 @@ def main():
     outs = [step(dev_frames[i], *packed[i]) for i in range(32)]
     np.asarray(outs[-1][1])
     cap_ms = (time.perf_counter() - t0) / 32 * 1e3
+    # the producer rate paired with this device rate must be the batched
+    # run's: its producer runs device_stage=False, so its "track" bucket
+    # is the pure host pipeline (overlay+tracker+pack_radar). The
+    # per-frame run's bucket also holds the per-frame relay device_put —
+    # an artifact a real TPU host (H2D overlapped with exec) never pays.
     report2 = {"step_ms": round(cap_ms, 2),
                "step_fps": round(1000 / cap_ms, 1),
-               "track_fps": report.get("track", 0.0)}
+               "track_fps": report_b.get("track", 0.0),
+               "track_fps_with_relay_h2d": report.get("track", 0.0)}
     print(f"capacity: {report2}")
 
     # sustained device-resident replay (VERDICT r2 #8): >=1024 frames
