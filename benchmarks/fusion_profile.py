@@ -222,8 +222,11 @@ def main(b=32, dtype="bfloat16"):
 
     def with_nms(img):
         det = backbone(img)
+        # the config's own NMS operating point (k256/d64 presets shrink
+        # pre_top_k / max_det — the prefix must match the full graph)
         out, valid = batched_nms(det, cfg.conf_thresh, cfg.nms_thresh,
-                                 max_det=200, pre_top_k=512)
+                                 max_det=cfg.max_det,
+                                 pre_top_k=cfg.pre_nms_top_k)
         return out
 
     def full(img):
