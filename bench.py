@@ -212,11 +212,13 @@ def _ladder():
     # knobs, ops/nms.py): the second-to-last rung is the exact r3d
     # chip-proven config (pallas_stem2 + whole-matrix NMS kernel), the
     # last is fully Mosaic-free (XLA fixpoint NMS, plain XLA convs).
-    # benchmarks/r3_campaign.py overwrites the leading rungs with the
+    # benchmarks/r*_campaign.py overwrites the leading rungs with the
     # MEASURED-fastest preset order via runs/bench_ladder.json.
-    # Default order = the r3e campaign's MEASURED ladder (pallas_packed
-    # was Mosaic-rejected on-chip and is no longer a default rung).
-    rungs = [("pallas_max", {"MILLIEYE_NMS_BLOCKED": "0"}, 2000),
+    # Default order = the r4 MEASURED ladder: pallas_max_d64 first
+    # (5010 fps b32 / 1640 b1 — blocked-NMS auto, matching the details
+    # measurement), then the chip-proven fallbacks.
+    rungs = [("pallas_max_d64", {}, 2000),
+             ("pallas_max", {"MILLIEYE_NMS_BLOCKED": "0"}, 1500),
              ("pallas_stem2", {"MILLIEYE_NMS_BLOCKED": "0",
                                "MILLIEYE_BENCH_SCAN": "0"}, 1500),
              ("f32", {"MILLIEYE_NMS_PALLAS": "0",

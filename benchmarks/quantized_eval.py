@@ -293,6 +293,11 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
             res = evaluate_fusion(model, p, folded_state, batches, mode=0)
             m = round(summarize(res)[1], 4) if res else 0.0
             results[f"map50_{name}_{light}"] = m
+            if name == "pallas_max_k256":
+                # the eval runs at max_det=64 already (k256_cfg), so
+                # this row IS the pallas_max_d64 preset's accuracy —
+                # record it under both names
+                results[f"map50_pallas_max_d64_{light}"] = m
             print(f"{name} {light}: mAP@0.5 = {m}", flush=True)
             _merge(results)
     print(json.dumps(results))
