@@ -66,6 +66,7 @@ def main():
         cache = radar_cache(
             SyntheticScenes(400, seed=777, illumination=(light,)))
         suff = {256: 0, 512: 0}
+        suff128 = 0
         n = 0
         counts = []
         for batch in cache.loader(32):
@@ -76,6 +77,13 @@ def main():
                     det, 0.2, iou_thresh=model.cfg.nms_thresh,
                     max_det=200, pre_top_k=k))
                 suff[k] += int(ok.sum())
+            # K=128 at the d64 preset's own max_det: the candidate for
+            # a further-halved NMS rung (exact iff <=128 rows pass conf
+            # 0.2, or >=64 of the top 128 survive suppression)
+            ok = np.asarray(pre_top_k_sufficient(
+                det, 0.2, iou_thresh=model.cfg.nms_thresh,
+                max_det=64, pre_top_k=128))
+            suff128 += int(ok.sum())
             counts.append(np.asarray(survivor_counts(det)))
             n += int(det.shape[0])
         counts = np.concatenate(counts)
@@ -83,6 +91,8 @@ def main():
         for k in (256, 512):
             report[f"sufficient_k{k}_{light}_pct"] = round(
                 100.0 * suff[k] / n, 2)
+        report[f"sufficient_k128_d64_{light}_pct"] = round(
+            100.0 * suff128 / n, 2)
         report[f"post_nms_survivors_{light}"] = {
             "p50": int(np.percentile(counts, 50)),
             "p99": int(np.percentile(counts, 99)),
