@@ -241,7 +241,13 @@ def main():
                 ("bfloat16", "pallas_max_d64", (), False, False,
                  (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
                  "default", "phase", "pallas", "first", "dot",
-                 {"pre_nms_top_k": 256, "max_det": 64}))
+                 {"pre_nms_top_k": 256, "max_det": 64}),
+                # + top-128 NMS candidates (sufficient_k128_d64 = 100%
+                # both splits): the blocked keepmask is ONE block
+                ("bfloat16", "pallas_max_k128", (), False, False,
+                 (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
+                 "default", "phase", "pallas", "first", "dot",
+                 {"pre_nms_top_k": 128, "max_det": 64}))
     global _DROPPED_STALE
     # comma-separated EXACT variant names: substring matching would pull
     # pallas_s2d8 into a MILLIEYE_ONLY=pallas_s2d rerun — an extra ~10 min

@@ -180,6 +180,19 @@ SERVING_PRESETS = {
                        "pallas_variant": "phase",
                        "roi_impl": "pallas", "roi_precision": "default",
                        "pre_nms_top_k": 256, "max_det": 64},
+    # + the NMS candidate set halved AGAIN to top-128: provably exact at
+    # the serving conf 0.2 on 100% of both test splits
+    # (PRE_TOPK_SUFFICIENCY.json sufficient_k128_d64_*, evaluated at
+    # max_det=64); the blocked keepmask shrinks to ONE 128x128 block.
+    # Chip throughput not yet measured (relay outage) — d64 stays the
+    # flagship rung until this one earns its number.
+    "pallas_max_k128": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                        "hi_store": "float16", "heads_dtype": "bfloat16",
+                        "pallas": (0, 2), "pallas_pair": True,
+                        "pallas_precision": "default",
+                        "pallas_variant": "phase",
+                        "roi_impl": "pallas", "roi_precision": "default",
+                        "pre_nms_top_k": 128, "max_det": 64},
     # latency-first b1 serving: half the NMS candidate set (top-256 —
     # exactness at the serving conf 0.2 monitored by
     # ops.nms.pre_top_k_sufficient) + the block-sequential NMS kernel

@@ -68,7 +68,7 @@ def test_serving_overrides_shape():
                                     "pallas_s2d", "pallas_s2d8",
                                     "pallas_deep", "pallas_pair2",
                                     "pallas_maxv", "pallas_max_k256",
-                                    "pallas_max_d64",
+                                    "pallas_max_d64", "pallas_max_k128",
                                     "pallas_lat", "s2d",
                                     "bf16_s2d", "int8", "int8_acts"}
     # the round-4 RoI/latency presets carry their FusionConfig overrides
