@@ -265,6 +265,12 @@ def main(b=32, dtype="bfloat16"):
         # together equal full - backbone_nms
         results[f"fusion_tail_{dtype}_b{b}_assembly_remainder_us"] = round(
             tail - known, 1)
+        results["fusion_tail_note"] = (
+            "rows are cumulative-prefix deltas (score -> +crops -> "
+            "+heads) and sum with the remainder to full - backbone_nms; "
+            "score_maps/heads are <=60 us at b32 — below the relay "
+            "window noise, so their deltas can clamp to 0 and the "
+            "remainder absorbs the difference (crops own the tail)")
         results.pop(f"fusion_tail_{dtype}_b{b}_residual_us", None)
         results.pop(f"fusion_tail_{dtype}_b{b}_reconciliation_us", None)
         print(f"tail = score+crops+heads {known:.1f} us + "
