@@ -203,7 +203,8 @@ SERVING_PRESETS = {
                    "pallas_variant": "phase",
                    "roi_impl": "pallas", "roi_precision": "default",
                    "roi_reduce": "vpu",
-                   "pre_nms_top_k": 256, "nms_use_blocked": True},
+                   "pre_nms_top_k": 256, "max_det": 64,
+                   "nms_use_blocked": True},
     "s2d": {"s2d": True},
     "bf16_s2d": {"compute_dtype": "bfloat16", "s2d": True},
     "int8": {"s2d": True, "weights_int8": True},
