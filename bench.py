@@ -214,10 +214,12 @@ def _ladder():
     # last is fully Mosaic-free (XLA fixpoint NMS, plain XLA convs).
     # benchmarks/r*_campaign.py overwrites the leading rungs with the
     # MEASURED-fastest preset order via runs/bench_ladder.json.
-    # Default order = the r4 MEASURED ladder: pallas_max_d64 first
-    # (5010 fps b32 / 1640 b1 — blocked-NMS auto, matching the details
-    # measurement), then the chip-proven fallbacks.
-    rungs = [("pallas_max_d64", {}, 2000),
+    # Default order = the r4 MEASURED ladder: pallas_max_k128 first
+    # (5148 fps b32 / 1684 b1 — blocked-NMS auto, matching the details
+    # measurement; top-128 candidates proven sufficient on both splits),
+    # then the chip-proven fallbacks.
+    rungs = [("pallas_max_k128", {}, 2000),
+             ("pallas_max_d64", {}, 1500),
              ("pallas_max", {"MILLIEYE_NMS_BLOCKED": "0"}, 1500),
              ("pallas_stem2", {"MILLIEYE_NMS_BLOCKED": "0",
                                "MILLIEYE_BENCH_SCAN": "0"}, 1500),

@@ -165,6 +165,13 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
                            heads_dtype="bfloat16",
                            roi_impl="pallas", roi_precision="default",
                            roi_reduce="vpu", nms_use_blocked=True)
+    # the r4 flagship: top-128 candidates (sufficient_k128_d64 = 100%
+    # on both splits — the measured row should equal k256's exactly)
+    k128_cfg = FusionConfig(conf_thresh=0.2, pre_nms_top_k=128,
+                            max_det=64, max_radar=16,
+                            compute_dtype="bfloat16",
+                            heads_dtype="bfloat16",
+                            roi_impl="pallas", roi_precision="default")
 
     variants = {
         "f32": (base, dict(params, darknet=fp), "float32"),
@@ -181,6 +188,8 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
         "pallas_max": (FusionNetwork(phase_dn, roi_cfg),
                        dict(params, darknet=fp), "bfloat16"),
         "pallas_max_k256": (FusionNetwork(phase_dn, k256_cfg),
+                            dict(params, darknet=fp), "bfloat16"),
+        "pallas_max_k128": (FusionNetwork(phase_dn, k128_cfg),
                             dict(params, darknet=fp), "bfloat16"),
         "pallas_lat": (FusionNetwork(phase_dn, lat_cfg),
                        dict(params, darknet=fp), "bfloat16"),
