@@ -55,3 +55,53 @@ def _clear_jax_caches_between_modules():
     absorbed by the persistent ``.jax_cache_cpu``."""
     yield
     jax.clear_caches()
+
+
+# Tests measured >=10 s on this box (runs/pytest_durations.log) carry a
+# `slow` marker, added centrally here so the fast gate
+# `python -m pytest tests/ -m "not slow"` (~8 min vs ~21) stays usable
+# as a pre-commit check; the FULL suite remains the record of truth.
+_SLOW = {
+    "test_stem_pallas.py::test_serving_preset_pallas_pair2_builds_and_runs",
+    "test_fusion_net.py::test_training_step_grads",
+    "test_learning.py::test_stage3_radar_branch_learns",
+    "test_stem_pallas.py::test_fused_stem2_s2d_deep_pair_channels",
+    "test_export.py::test_export_roundtrip_matches_live_graph",
+    "test_mixed_precision.py::test_heads_dtype_bf16_close_to_f32",
+    "test_roi_align.py::test_fusion_roi_impl_pallas_matches_einsum",
+    "test_fusion_net.py::test_max_det_truncation_exact",
+    "test_export.py::test_export_cli",
+    "test_stem_pallas.py::test_serving_preset_pallas_max_builds_and_runs",
+    "test_ckpt_parity.py::test_checkpoint_parity_random_sd",
+    "test_int8_act.py::test_full_net_int8_acts_close_and_heads_skipped",
+    "test_trainer_loop.py::test_fusion_training_loop_and_eval",
+    "test_fusion_net.py::test_forward_modes",
+    "test_stem_pallas.py::test_darknet_pallas_stem_matches_plain",
+    "test_parallel.py::test_dryrun_multichip_dp_tp",
+    "test_ckpt_schema.py::test_fusion_network_exact_key_schema",
+    "test_stem_pallas.py::test_fused_stem2_s2d_matches_two_stages",
+    "test_cli_serving.py::test_evaluate_cli_serving",
+    "test_fusion_net.py::test_refine_network_module2",
+    "test_io.py::test_fill_fusion_network_and_forward",
+    "test_darknet.py::test_full_yolov3_topology_and_shapes",
+    "test_mixed_precision.py::test_f16_store_keeps_dim_precision",
+    "test_e2e_parity.py::test_refine_network_full_pipeline_parity",
+    "test_cli.py::test_train_cli_synthetic_stage1",
+    "test_quantize.py::test_quantized_darknet_forward_close",
+    "test_s2d.py::test_s2d_darknet_matches_plain",
+    "test_stem_pallas.py::test_fused_stem2_packed_matches_two_stages",
+    "test_im2col_stem.py::test_im2col_darknet_matches_plain",
+    "test_parallel.py::test_train_cli_data_parallel_matches_single",
+    "test_int8_act.py::test_s2d_int8_acts_compose",
+    "test_trainer_loop.py::test_yolo_and_refine_training_loops",
+    "test_stem_pallas.py::test_fused_stem2_s2d_row_padded_and_g2",
+    "test_parallel.py::test_dryrun_multichip_dp_only",
+    "test_stem_pallas.py::test_serving_preset_pallas_deep_builds_and_runs",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("tests/")[-1].split("[")[0]
+        if base in _SLOW:
+            item.add_marker(pytest.mark.slow)
