@@ -247,6 +247,33 @@ def main():
                 ("bfloat16", "pallas_max_k128", (), False, False,
                  (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
                  "default", "phase", "pallas", "first", "dot",
+                 {"pre_nms_top_k": 128, "max_det": 64}),
+                # k128/d64 with the K-packed pair kernel, f32 scratches
+                # (identical numerics to phase at DEFAULT dots; the f32
+                # form is chip-proven at HIGHEST — r4 gate 5061 us)
+                ("bfloat16", "pallas_max_pk", (), False, False,
+                 (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
+                 "default", "packed", "pallas", "first", "dot",
+                 {"pre_nms_top_k": 128, "max_det": 64}),
+                # k128/d64 with the s2d pair kernel, f32 scratches
+                ("bfloat16", "pallas_max_s2d", (), False, False,
+                 (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
+                 "default", "s2d", "pallas", "first", "dot",
+                 {"pre_nms_top_k": 128, "max_det": 64}),
+                # bf16-scratch twins (half the patch-fill traffic; need
+                # the r5 DMA tile-alignment fix to compile on-chip) —
+                # only run when named EXACTLY in MILLIEYE_ONLY
+                ("bfloat16", "pallas_max_bf16s", (), False, False,
+                 (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
+                 "default", "phase_bf16s", "pallas", "first", "dot",
+                 {"pre_nms_top_k": 128, "max_det": 64}),
+                ("bfloat16", "pallas_max_pk_bf16s", (), False, False,
+                 (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
+                 "default", "packed_bf16s", "pallas", "first", "dot",
+                 {"pre_nms_top_k": 128, "max_det": 64}),
+                ("bfloat16", "pallas_max_s2d_bf16s", (), False, False,
+                 (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
+                 "default", "s2d_bf16s", "pallas", "first", "dot",
                  {"pre_nms_top_k": 128, "max_det": 64}))
     global _DROPPED_STALE
     # comma-separated EXACT variant names: substring matching would pull
@@ -259,6 +286,13 @@ def main():
         _DROPPED_STALE = True
     for dtype, vname, s2d, int8, acts, *rest in VARIANTS:
         if only and vname not in only:
+            continue
+        if vname.endswith("_bf16s") and vname not in only:
+            # bf16-scratch twins crashed the remote compile helper
+            # pre-fix (r4 gate) — a pathological Mosaic compile can
+            # wedge the terminal, so they never ride a full sweep;
+            # name them EXACTLY in MILLIEYE_ONLY after the
+            # stem_pallas_check gate passes them
             continue
         if vname.startswith("pallas_stem") and not os.environ.get(
                 "MILLIEYE_PALLAS_STEM"):

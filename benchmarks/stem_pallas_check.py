@@ -74,25 +74,34 @@ def main_stem2():
     e_ph = np.abs(got_ph - ref_hi).max()
     print(f"stem2_phase maxerr {e_ph:.2e}", flush=True)
     assert e_ph < 1e-4, e_ph
-    from millieye_tpu.ops.stem_pallas import fused_stem2_packed
-    try:
-        got_pk = np.asarray(fused_stem2_packed(x, w0, b0, w1, b1,
-                                               precision="default",
-                                               scratch_dtype=jnp.bfloat16))
-        e_pk = np.abs(got_pk - ref_hi).max()
-        print(f"stem2_packed(default/bf16s) maxerr {e_pk:.2e}", flush=True)
-    except Exception as e:  # Mosaic rejection must not kill the gate:
-        # the phase/planar timings below are what pallas_max needs
-        print(f"stem2_packed FAILED {str(e)[:200]}", flush=True)
-    from millieye_tpu.ops.stem_pallas import fused_stem2_s2d
-    try:
-        got_s2 = np.asarray(fused_stem2_s2d(x, w0, b0, w1, b1,
-                                            precision="default",
-                                            scratch_dtype=jnp.bfloat16))
-        e_s2 = np.abs(got_s2 - ref_hi).max()
-        print(f"stem2_s2d(default/bf16s) maxerr {e_s2:.2e}", flush=True)
-    except Exception as e:
-        print(f"stem2_s2d FAILED {str(e)[:200]}", flush=True)
+    from millieye_tpu.ops.stem_pallas import (fused_stem2_packed,
+                                              fused_stem2_s2d)
+    # DEFAULT-precision f32-scratch packed/s2d vs the phase kernel:
+    # identical products and rounding (the packing/s2d indexing only
+    # regroups independent outputs; accumulation-tree order may differ
+    # at the last f32 bit) — the flagship-replacement candidates the r4
+    # gate never measured (it only ran the bf16-scratch forms, which
+    # crashed the compile helper pre the DMA tile-alignment fix)
+    ph_def = np.asarray(fused_stem2_phase(x, w0, b0, w1, b1,
+                                          precision="default"))
+    for nm, fn in (
+        ("packed_default", lambda: fused_stem2_packed(
+            x, w0, b0, w1, b1, precision="default")),
+        ("s2d_default", lambda: fused_stem2_s2d(
+            x, w0, b0, w1, b1, precision="default")),
+        ("packed_bf16s", lambda: fused_stem2_packed(
+            x, w0, b0, w1, b1, precision="default",
+            scratch_dtype=jnp.bfloat16)),
+        ("s2d_bf16s", lambda: fused_stem2_s2d(
+            x, w0, b0, w1, b1, precision="default",
+            scratch_dtype=jnp.bfloat16)),
+    ):
+        try:
+            e_v = np.abs(np.asarray(fn()) - ph_def).max()
+            print(f"stem2_{nm} vs phase_default maxerr {e_v:.2e}",
+                  flush=True)
+        except Exception as e:  # Mosaic rejection must not kill the gate
+            print(f"stem2_{nm} FAILED {str(e)[:200]}", flush=True)
     g16 = np.asarray(fused_stem2_planar(x, w0, b0, w1, b1,
                                         out_dtype=jnp.float16))
     assert g16.dtype == np.float16
@@ -113,6 +122,16 @@ def main_stem2():
         ("phase", lambda z: fused_stem2_phase(z, w0, b0, w1, b1)),
         ("phase_default", lambda z: fused_stem2_phase(
             z, w0, b0, w1, b1, precision="default")),
+        # ---- the r5 candidates: DEFAULT dots, f32 scratches ----
+        ("packed_default", lambda z: fused_stem2_packed(
+            z, w0, b0, w1, b1, precision="default")),
+        ("packed_s1p_def", lambda z: fused_stem2_packed(
+            z, w0, b0, w1, b1, precision="default", pack_stage1=False)),
+        ("s2d_default", lambda z: fused_stem2_s2d(
+            z, w0, b0, w1, b1, precision="default")),
+        ("s2d8_default", lambda z: fused_stem2_s2d(
+            z, w0, b0, w1, b1, precision="default", groups0=8)),
+        # ---- bf16 scratches, post DMA tile-alignment fix ----
         ("phase_bf16s", lambda z: fused_stem2_phase(
             z, w0, b0, w1, b1, precision="default",
             scratch_dtype=jnp.bfloat16)),
@@ -122,18 +141,24 @@ def main_stem2():
         ("packed_s1plain", lambda z: fused_stem2_packed(
             z, w0, b0, w1, b1, precision="default",
             scratch_dtype=jnp.bfloat16, pack_stage1=False)),
-        ("packed_highest", lambda z: fused_stem2_packed(
-            z, w0, b0, w1, b1)),
         ("s2d_bf16s", lambda z: fused_stem2_s2d(
             z, w0, b0, w1, b1, precision="default",
             scratch_dtype=jnp.bfloat16)),
-        ("s2d_highest", lambda z: fused_stem2_s2d(
-            z, w0, b0, w1, b1)),
-        # groups0=8 needs bf16 scratches at 416px (f32 s0 alone is
-        # 8.4 MB; the f32 set totals ~17 MB > the scoped budget)
         ("s2d8_bf16s", lambda z: fused_stem2_s2d(
             z, w0, b0, w1, b1, precision="default",
             scratch_dtype=jnp.bfloat16, groups0=8)),
+        # ---- compile-crash bisect (one bf16 buffer at a time) ----
+        ("phase_bf16_xb", lambda z: fused_stem2_phase(
+            z, w0, b0, w1, b1, precision="default", bf16_only="xb")),
+        ("phase_bf16_s0", lambda z: fused_stem2_phase(
+            z, w0, b0, w1, b1, precision="default", bf16_only="s0")),
+        ("phase_bf16_s1", lambda z: fused_stem2_phase(
+            z, w0, b0, w1, b1, precision="default", bf16_only="s1")),
+        # ---- HIGHEST-precision forms (chip-proven in the r4 gate) ----
+        ("packed_highest", lambda z: fused_stem2_packed(
+            z, w0, b0, w1, b1)),
+        ("s2d_highest", lambda z: fused_stem2_s2d(
+            z, w0, b0, w1, b1)),
     ):
         try:
             t = bench_scanned(f, x, k=10)

@@ -193,6 +193,60 @@ SERVING_PRESETS = {
                         "pallas_variant": "phase",
                         "roi_impl": "pallas", "roi_precision": "default",
                         "pre_nms_top_k": 128, "max_det": 64},
+    # pallas_max_k128 with the stage-0 K-PACKED pair kernel (4 row-
+    # groups per MXU column via a block-diagonal weight tile,
+    # fused_stem2_packed, f32 scratches): identical numerics to the
+    # phase kernel at DEFAULT dots — the packing only regroups
+    # independent output rows. The r4 gate compiled and ran the f32
+    # form on-chip (packed_highest 5061 us); the DEFAULT-precision f32-
+    # scratch form was never measured (the old dispatch auto-coupled
+    # bf16 scratches — the compile-crash config — to DEFAULT precision)
+    "pallas_max_pk": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                      "hi_store": "float16", "heads_dtype": "bfloat16",
+                      "pallas": (0, 2), "pallas_pair": True,
+                      "pallas_precision": "default",
+                      "pallas_variant": "packed",
+                      "roi_impl": "pallas", "roi_precision": "default",
+                      "pre_nms_top_k": 128, "max_det": 64},
+    # pallas_max_k128 with the s2d pair kernel (packed stage 0 + 2x2
+    # space-to-depth stage 1 — full-M band dots), f32 scratches
+    "pallas_max_s2d": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                       "hi_store": "float16", "heads_dtype": "bfloat16",
+                       "pallas": (0, 2), "pallas_pair": True,
+                       "pallas_precision": "default",
+                       "pallas_variant": "s2d",
+                       "roi_impl": "pallas", "roi_precision": "default",
+                       "pre_nms_top_k": 128, "max_det": 64},
+    # bf16-scratch twins (bit-identical under DEFAULT dots, half the
+    # patch-fill traffic): gated on the r5 DMA tile-alignment fix
+    # compiling on-chip (stem_pallas_check phase_bf16s/packed_bf16s)
+    "pallas_max_bf16s": {"compute_dtype": "bfloat16",
+                         "hi_prec": (0, 2, 4), "hi_store": "float16",
+                         "heads_dtype": "bfloat16", "pallas": (0, 2),
+                         "pallas_pair": True,
+                         "pallas_precision": "default",
+                         "pallas_variant": "phase_bf16s",
+                         "roi_impl": "pallas",
+                         "roi_precision": "default",
+                         "pre_nms_top_k": 128, "max_det": 64},
+    "pallas_max_pk_bf16s": {"compute_dtype": "bfloat16",
+                            "hi_prec": (0, 2, 4), "hi_store": "float16",
+                            "heads_dtype": "bfloat16", "pallas": (0, 2),
+                            "pallas_pair": True,
+                            "pallas_precision": "default",
+                            "pallas_variant": "packed_bf16s",
+                            "roi_impl": "pallas",
+                            "roi_precision": "default",
+                            "pre_nms_top_k": 128, "max_det": 64},
+    "pallas_max_s2d_bf16s": {"compute_dtype": "bfloat16",
+                             "hi_prec": (0, 2, 4), "hi_store": "float16",
+                             "heads_dtype": "bfloat16", "pallas": (0, 2),
+                             "pallas_pair": True,
+                             "pallas_precision": "default",
+                             "pallas_variant": "s2d_bf16s",
+                             "roi_impl": "pallas",
+                             "roi_precision": "default",
+                             "pre_nms_top_k": 128, "max_det": 64},
     # latency-first b1 serving: half the NMS candidate set (top-256 —
     # exactness at the serving conf 0.2 monitored by
     # ops.nms.pre_top_k_sufficient) + the block-sequential NMS kernel

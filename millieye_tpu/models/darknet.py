@@ -226,9 +226,22 @@ class Darknet:
         # diagonal weight tile, fused_stem2_packed — same numerics),
         # "s2d" = packed stage 0 + 2x2 space-to-depth stage 1 (one
         # full-M [4*c_out, 16*c_mid] dot per 8-output-row band,
-        # fused_stem2_s2d — same products, s2d-regrouped)
-        if pallas_stem_pair_variant not in ("select", "phase", "packed",
-                                            "s2d", "s2d8"):
+        # fused_stem2_s2d — same products, s2d-regrouped). A "_bf16s"
+        # suffix (phase/packed/s2d/s2d8, DEFAULT precision only) stores
+        # the DMA'd bands and patch scratches in bf16 — bit-identical
+        # numerics (DEFAULT dots round inputs to bf16 regardless) at
+        # half the fill traffic. Scratch dtype is part of the VARIANT
+        # NAME, not inferred from precision: the old auto-bf16 coupling
+        # selected the one configuration that crashes the Mosaic
+        # compile helper (runs/r4_campaign/03_stem_gate.log — every
+        # bf16-scratch kernel, pre the DMA tile-alignment fix).
+        base_variant = (pallas_stem_pair_variant[:-6]
+                        if pallas_stem_pair_variant.endswith("_bf16s")
+                        else pallas_stem_pair_variant)
+        if (base_variant not in ("select", "phase", "packed", "s2d",
+                                 "s2d8")
+                or (pallas_stem_pair_variant.endswith("_bf16s")
+                    and base_variant == "select")):
             raise ValueError(
                 f"unknown pallas_stem_pair_variant "
                 f"{pallas_stem_pair_variant!r} (a typo would otherwise "
@@ -475,8 +488,9 @@ class Darknet:
             for lo in cand:
                 if lo in taken:
                     continue
-                if (lo != stages[0] and self.pallas_stem_pair_variant
-                        not in ("s2d", "s2d8")):
+                if (lo != stages[0]
+                        and self.pallas_stem_pair_variant.replace(
+                            "_bf16s", "") not in ("s2d", "s2d8")):
                     continue
                 if (lo + 2 in self.pallas_stem_stages
                         and _pallas_fused(lo) and _pallas_fused(lo + 2)):
@@ -495,25 +509,23 @@ class Darknet:
                 from millieye_tpu.ops.stem_pallas import (
                     fused_stem2_packed, fused_stem2_phase,
                     fused_stem2_planar, fused_stem2_s2d)
+                variant = self.pallas_stem_pair_variant
+                bf16s = variant.endswith("_bf16s")
+                base = variant[:-6] if bf16s else variant
                 pair_fn = {"phase": fused_stem2_phase,
                            "packed": fused_stem2_packed,
                            "s2d": fused_stem2_s2d,
                            "s2d8": functools.partial(fused_stem2_s2d,
                                                groups0=8)}.get(
-                    self.pallas_stem_pair_variant, fused_stem2_planar)
+                    base, fused_stem2_planar)
                 pair_kw = {}
-                if self.pallas_stem_pair_variant in ("packed", "s2d",
-                                                     "s2d8"):
-                    # bf16 scratches are bit-identical under DEFAULT dots
-                    # and keep the packed kernel's larger s0 inside the
-                    # 16 MB scoped-VMEM budget (stem_pallas.py docstring)
-                    pair_kw["scratch_dtype"] = (
-                        jnp.bfloat16
-                        if self.pallas_stem_precision == "default"
-                        else None)
-                if (i != min(pair_los)
-                        and self.pallas_stem_pair_variant in ("s2d",
-                                                              "s2d8")):
+                if bf16s:
+                    # bf16 scratches are bit-identical under DEFAULT
+                    # dots (which round inputs to bf16 regardless) at
+                    # half the fill traffic; the kernels assert
+                    # precision == "default"
+                    pair_kw["scratch_dtype"] = jnp.bfloat16
+                if (i != min(pair_los) and base in ("s2d", "s2d8")):
                     # deep pairs: c_mid fills the 128-row M tile at a
                     # smaller group count (2 at c_mid=64) — the stage-0
                     # K-packing factor is a 3-channel-stem artifact

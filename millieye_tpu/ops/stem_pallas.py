@@ -709,12 +709,19 @@ def _stem_kernel_planar2_phase(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                                o_ref, xb, s0, y1, s1, sem, *,
                                q, cin, c_mid, c_out, k0_pad, k1,
                                n_bands0, n_bands1, precision, n_e, n_o,
-                               sdtype):
+                               xb_dt, s0_dt, s1_dt, dma_rows):
     """Phase-grouped double-fused stem kernel (see module comment).
 
     Lane layouts: stage-0 input 4 phase blocks of ``q`` lanes (block d,
     lane m = padded col 4m+d); y1 two parity blocks (block p, lane m =
     stage-1 padded input col 2m+p); output lane-compact pooled cols.
+
+    ``xb_dt``/``s0_dt``/``s1_dt``: per-buffer dtypes (f32 or bf16 —
+    the ``bf16_only`` bisect knob of the wrapper); ``dma_rows``: rows
+    per stage-0 input DMA — 24 for f32, 32 for bf16 so the copy covers
+    whole (16, 128) bf16 tiles (24 = 3 f32 tiles but 1.5 bf16 tiles;
+    fractional-tile DMAs are the round-4 compile-crash suspect shared
+    by every bf16-scratch variant while the f32 twins compile).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -728,7 +735,7 @@ def _stem_kernel_planar2_phase(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
     w_mid = 2 * q
 
     if k0_pad > 9 * cin:
-        s0[9 * cin:] = jnp.zeros((k0_pad - 9 * cin, 16, wq), sdtype)
+        s0[9 * cin:] = jnp.zeros((k0_pad - 9 * cin, 16, wq), s0_dt)
     y1[:, 0:8] = jnp.zeros((c_mid, 8, w_mid), jnp.float32)
     tail = y1.shape[1] - (8 + 8 * n_bands0)
     if tail:
@@ -736,13 +743,14 @@ def _stem_kernel_planar2_phase(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                                              jnp.float32)
 
     # hoisted masks (band-invariant)
-    lane0 = jax.lax.broadcasted_iota(jnp.int32, (24, wq), 1)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (dma_rows, wq), 1)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (32, w_mid), 1)
     lanep = jax.lax.broadcasted_iota(jnp.int32, (c_mid, 8, q), 2)
 
     def in_dma(i, slot):
         return pltpu.make_async_copy(
-            x_ref.at[b, :, pl.ds(16 * i, 24)], xb.at[slot], sem.at[slot])
+            x_ref.at[b, :, pl.ds(16 * i, dma_rows)], xb.at[slot],
+            sem.at[slot])
 
     in_dma(0, 0).start()
 
@@ -755,7 +763,7 @@ def _stem_kernel_planar2_phase(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
 
         in_dma(i, slot).wait()
         for c in range(cin):
-            big = xb[slot, c]                              # [24, wq]
+            big = xb[slot, c]                              # [dma_rows, wq]
             for v in range(3):
                 if v == 0:
                     bv = big
@@ -765,8 +773,11 @@ def _stem_kernel_planar2_phase(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                     fx = pltpu.roll(big, sh - 1, 1)    # src = dest + v*q+1
                     bv = jnp.where(lane0 >= (4 - v) * q, fx, t)
                 for u in range(3):
-                    sv, du = _u_shifted(bv, u, sdtype)
-                    s0[c * 9 + u * 3 + v] = sv[du:du + 16]
+                    sv, du = _u_shifted(bv, u, xb_dt)
+                    val = sv[du:du + 16]
+                    if val.dtype != s0_dt:
+                        val = val.astype(s0_dt)
+                    s0[c * 9 + u * 3 + v] = val
         z = s0[...].reshape(k0_pad, 16 * wq)
         y = jax.lax.dot_general(
             a0, z, (((1,), (0,)), ((), ())), precision=precision,
@@ -806,7 +817,7 @@ def _stem_kernel_planar2_phase(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                     # lanes land at m = q-1, beyond the valid range
                     bv = pltpu.roll(big, 2 * q - 1, 1)
                 for u in range(3):
-                    s1[c * 9 + u * 3 + v] = bv[u + 7:u + 23].astype(sdtype)
+                    s1[c * 9 + u * 3 + v] = bv[u + 7:u + 23].astype(s1_dt)
         z = s1[...].reshape(k1, 16 * w_mid)
         y = jax.lax.dot_general(
             a1, z, (((1,), (0,)), ((), ())), precision=precision,
@@ -825,9 +836,10 @@ def _stem_kernel_planar2_phase(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "out_dtype", "precision",
-                                    "scratch_dtype"))
+                                    "scratch_dtype", "bf16_only"))
 def fused_stem2_phase(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
-                      precision="highest", scratch_dtype=None):
+                      precision="highest", scratch_dtype=None,
+                      bf16_only=None):
     """Phase-split spelling of ``fused_stem2_planar`` — same contract:
 
     [N, H, W, C] -> [N, H/4, W/4, D1] ==
@@ -839,7 +851,17 @@ def fused_stem2_phase(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     precision="default", where it is bit-identical to the f32-scratch
     kernel (DEFAULT dots round inputs to bf16 on the MXU regardless)
     but with half the fill-copy traffic. The inter-stage intermediate
-    stays f32 either way.
+    stays f32 either way. When the input buffer is bf16, the stage-0
+    DMA window grows 24 -> 32 rows (and the input row pad 7 -> 15) so
+    every async copy covers whole (16, 128) bf16 tiles — the r4 gate
+    showed every bf16-scratch kernel crashing the remote compile helper
+    while its f32 twin compiled, and the 24/72/136-row DMA buffers
+    (whole f32 tiles, fractional bf16 tiles) are the one structural
+    difference (runs/r4_campaign/03_stem_gate.log).
+
+    ``bf16_only`` (None | "xb" | "s0" | "s1", precision="default" +
+    f32 ``scratch_dtype`` only): flips ONE buffer to bf16 — the
+    compile-crash bisect knob for benchmarks/stem_pallas_check.py.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -856,6 +878,16 @@ def fused_stem2_phase(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     sdtype = jnp.dtype(scratch_dtype or jnp.float32)
     assert sdtype == jnp.float32 or precision == "default", \
         "bf16 scratches change numerics unless the dots are DEFAULT"
+    assert bf16_only in (None, "xb", "s0", "s1"), bf16_only
+    if bf16_only is not None:
+        assert sdtype == jnp.float32 and precision == "default", \
+            "bf16_only bisects the f32-scratch default-precision kernel"
+    bf16 = jnp.dtype(jnp.bfloat16)
+    xb_dt = bf16 if (sdtype == bf16 or bf16_only == "xb") else jnp.float32
+    s0_dt = bf16 if (sdtype == bf16 or bf16_only == "s0") else jnp.float32
+    s1_dt = bf16 if (sdtype == bf16 or bf16_only == "s1") else jnp.float32
+    dma_rows = 32 if xb_dt == bf16 else 24
+    pad_bot = dma_rows - 16 - 1           # 7 (f32) or 15 (bf16)
     w_pad = _round_up(w_in + 2, 128)
     assert w_pad % 4 == 0
     q = w_pad // 4
@@ -872,19 +904,20 @@ def fused_stem2_phase(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
 
     # phase-grouped input: lane d*q + m = padded col 4m+d
     xpf = jnp.pad(x.astype(jnp.float32).transpose(0, 3, 1, 2),
-                  ((0, 0), (0, 0), (1, 7), (1, 4 * q - w_in - 1)))
-    xq = (xpf.reshape(n, cin, h + 8, q, 4).transpose(0, 1, 2, 4, 3)
-          .reshape(n, cin, h + 8, 4 * q).astype(sdtype))
+                  ((0, 0), (0, 0), (1, pad_bot), (1, 4 * q - w_in - 1)))
+    xq = (xpf.reshape(n, cin, h + 1 + pad_bot, q, 4)
+          .transpose(0, 1, 2, 4, 3)
+          .reshape(n, cin, h + 1 + pad_bot, 4 * q).astype(xb_dt))
     a0 = jnp.pad(w0.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
-        c_mid, 9 * cin), ((0, 0), (0, k0_pad - 9 * cin))).astype(sdtype)
+        c_mid, 9 * cin), ((0, 0), (0, k0_pad - 9 * cin))).astype(s0_dt)
     a1 = w1.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
-        c_out, k1).astype(sdtype)
+        c_out, k1).astype(s1_dt)
 
     kernel = functools.partial(
         _stem_kernel_planar2_phase, q=q, cin=cin, c_mid=c_mid,
         c_out=c_out, k0_pad=k0_pad, k1=k1, n_bands0=n_bands0,
         n_bands1=n_bands1, precision=prec, n_e=n_e, n_o=n_o,
-        sdtype=sdtype)
+        xb_dt=xb_dt, s0_dt=s0_dt, s1_dt=s1_dt, dma_rows=dma_rows)
     out = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -900,10 +933,10 @@ def fused_stem2_phase(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
         out_shape=jax.ShapeDtypeStruct((n, c_out, h // 4, q),
                                        store_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, cin, 24, 4 * q), sdtype),          # xb
-            pltpu.VMEM((k0_pad, 16, 4 * q), sdtype),          # s0
+            pltpu.VMEM((2, cin, dma_rows, 4 * q), xb_dt),     # xb
+            pltpu.VMEM((k0_pad, 16, 4 * q), s0_dt),           # s0
             pltpu.VMEM((c_mid, h_mid, 2 * q), jnp.float32),   # y1
-            pltpu.VMEM((k1, 16, 2 * q), sdtype),              # s1
+            pltpu.VMEM((k1, 16, 2 * q), s1_dt),               # s1
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

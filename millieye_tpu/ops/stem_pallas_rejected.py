@@ -1,31 +1,35 @@
-"""Mosaic-REJECTED stem-kernel variants (interpret-only on this libtpu).
+"""K-packed / s2d stem-kernel variants (on-chip status mixed).
 
-Quarantined from ops/stem_pallas.py (VERDICT r3 weak #4): every variant
-in this module is exact in interpret mode (tests/test_stem_pallas.py)
-but does NOT compile on the target chip — kept because the failure
-analyses and the kernel structure are the round-5 starting point if a
-newer libtpu lands, and because the interpret tests pin the math.
+Quarantined from ops/stem_pallas.py in round 4 (VERDICT r3 weak #4) as
+"Mosaic-rejected" — but the r4 campaign's own gate log DISPROVES that
+for the f32-scratch forms (runs/r4_campaign/03_stem_gate.log):
 
-On-chip status (r3e + r4 campaigns, runs/r4_campaign/03_stem_gate.log):
+* ``packed_highest`` COMPILED AND RAN on-chip: 5061 us/b32 (vs phase
+  4216 at the same HIGHEST precision — the packing LOSES at 6-pass f32
+  dots, where fills dominate).
+* ``s2d_highest`` COMPILED AND RAN: 6074 us/b32.
+* Every ``*_bf16s`` (bf16-scratch) variant — including ``phase_bf16s``,
+  whose f32 twin is the chip-proven flagship — crashed the remote
+  tpu_compile_helper (HTTP 500, exit 1). The one structural difference
+  of the bf16 forms: their DMA buffers (24/72/136 rows) cover whole
+  (8, 128) f32 tiles but FRACTIONAL (16, 128) bf16 tiles. Round 5 adds
+  the alignment fix (halo 8 -> 16 rows when scratches are bf16) to all
+  three kernels and a ``bf16_only`` bisect knob to the phase kernel.
+* What the r4 gate NEVER measured: ``packed_default`` / ``s2d_default``
+  with f32 scratches — DEFAULT one-pass dots where the 4x column-pass
+  reduction should actually pay (the old darknet dispatch auto-coupled
+  bf16 scratches, i.e. the crash config, to DEFAULT precision). These
+  are the round-5 flagship candidates (presets pallas_max_pk /
+  pallas_max_s2d).
+* The earlier CLEAN Mosaic reject ("[16c_mid, 9, q] -> [16c_mid, 9q]
+  unsupported shape cast when q != 128*k") still binds the DEEP pair
+  (stages 4+6 at 104 px, q=32): fixing it needs 4-grid-rows-per-128-
+  lane packing of the s2d stage-1 scratch — unimplemented.
 
-* ``fused_stem2_packed`` (stage-0 K-packing, 4 row-groups per MXU
-  column): f32-scratch form REJECTED — the stage-1 scratch collapse
-  ``[16c_mid, 9, q] -> [16c_mid, 9q]`` is an unsupported shape cast
-  when q != 128*k; at 416 px the remote tpu_compile_helper subprocess
-  CRASHES outright (HTTP 500, exit code 1) rather than erroring.
-* ``fused_stem2_s2d`` / the ``groups0=8`` s2d8 form (full-M band dots
-  over 2x2 space-to-depth phase grids): same scratch-collapse rejection
-  class; the r4 whole-value sublane-roll fix for the bf16-scratch
-  u-shifts (ops/stem_pallas.py:_u_shifted) moved the failure from a
-  clean Mosaic reject to the same compile-helper crash — the crash is
-  in the collapse, not the shifts.
-* deep-pair (stages 4+6, ``groups0=2``) rides ``fused_stem2_s2d`` and
-  is rejected with it.
-
-The CHIP-PROVEN kernels (im2col/vgroup single stem, planar single
-stage, select pair, phase pair — the ``pallas_max`` flagship) live in
-ops/stem_pallas.py; this module re-exports nothing the serving path
-uses. Reference role: the cuDNN fused conv+pool stem blocks,
+The chip-proven serving kernels (phase pair = the ``pallas_max*``
+flagship family) live in ops/stem_pallas.py; it re-exports this module
+so the darknet variant dispatch keeps one import surface. Reference
+role: the cuDNN fused conv+pool stem blocks,
 ``module3_our_dataset/yolov3/models.py:12-79``.
 """
 from __future__ import annotations
@@ -71,7 +75,7 @@ def _stem_kernel_planar2_packed(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                                 o_ref, xb, s0, y1, s1, sem, *,
                                 q, cin, c_mid, c_out, k0_pad, k1,
                                 n_sb, rem_groups, n_bands1, precision,
-                                n_e, n_o, sdtype, pack1):
+                                n_e, n_o, sdtype, pack1, halo):
     """K-packed phase-grouped double-fused stem kernel (module comment
     above). Lane layouts identical to ``_stem_kernel_planar2_phase``;
     only stage-0's band/K structure differs (64-row superbands, 4
@@ -111,20 +115,21 @@ def _stem_kernel_planar2_packed(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                                             jnp.float32)
 
     # hoisted masks (band-invariant)
-    lane0 = jax.lax.broadcasted_iota(jnp.int32, (72, wq), 1)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (64 + halo, wq), 1)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (32, w_mid), 1)
     lanep = jax.lax.broadcasted_iota(jnp.int32, (4 * c_mid, 8, q), 2)
 
     def in_dma(i, slot):
         return pltpu.make_async_copy(
-            x_ref.at[b, :, pl.ds(64 * i, 72)], xb.at[slot], sem.at[slot])
+            x_ref.at[b, :, pl.ds(64 * i, 64 + halo)], xb.at[slot],
+            sem.at[slot])
 
     def superband(i, slot, n_groups):
         """Fill n_groups' K-blocks from xb[slot], one packed dot, pool,
         store each group's 8 pooled rows. ``i``/``slot`` may be traced
         (fori) or static (epilogue); ``n_groups`` is static."""
         for c in range(cin):
-            big = xb[slot, c]                              # [72, wq]
+            big = xb[slot, c]                              # [64+halo, wq]
             for v in range(3):
                 if v == 0:
                     bv = big
@@ -174,10 +179,10 @@ def _stem_kernel_planar2_packed(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
         jax.lax.fori_loop(0, n_sb, band0, 0)
 
     if rem_groups:
-        # half superband: rows 64*n_sb .. h-1 (+2 halo) — a short DMA
+        # half superband: rows 64*n_sb .. h-1 (+halo) — a short DMA
         # into the front of a revolving buffer, groups 0..rem_groups-1
         slot = n_sb % 2
-        ep_rows = 16 * rem_groups + 8
+        ep_rows = 16 * rem_groups + halo
         cp = pltpu.make_async_copy(
             x_ref.at[b, :, pl.ds(64 * n_sb, ep_rows)],
             xb.at[slot, :, pl.ds(0, ep_rows)], sem.at[slot])
@@ -277,6 +282,10 @@ def fused_stem2_packed(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     sdtype = jnp.dtype(scratch_dtype or jnp.float32)
     assert sdtype == jnp.float32 or precision == "default", \
         "bf16 scratches change numerics unless the dots are DEFAULT"
+    # bf16 DMA buffers must cover whole (16, 128) tiles: widen the halo
+    # 8 -> 16 rows (fractional-tile async copies are the r4 bf16-crash
+    # suspect — see fused_stem2_phase)
+    halo = 16 if sdtype == jnp.bfloat16 else 8
     w_pad = _round_up(w_in + 2, 128)
     assert w_pad % 4 == 0
     q = w_pad // 4
@@ -293,9 +302,9 @@ def fused_stem2_packed(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
 
     # phase-grouped input: lane d*q + m = padded col 4m+d (as phase)
     xpf = jnp.pad(x.astype(jnp.float32).transpose(0, 3, 1, 2),
-                  ((0, 0), (0, 0), (1, 7), (1, 4 * q - w_in - 1)))
-    xq = (xpf.reshape(n, cin, h + 8, q, 4).transpose(0, 1, 2, 4, 3)
-          .reshape(n, cin, h + 8, 4 * q).astype(sdtype))
+                  ((0, 0), (0, 0), (1, halo - 1), (1, 4 * q - w_in - 1)))
+    xq = (xpf.reshape(n, cin, h + halo, q, 4).transpose(0, 1, 2, 4, 3)
+          .reshape(n, cin, h + halo, 4 * q).astype(sdtype))
     a0 = jnp.pad(w0.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
         c_mid, 9 * cin), ((0, 0), (0, k0_pad - 9 * cin)))
     a0bd = jnp.kron(jnp.eye(4, dtype=jnp.float32), a0).astype(sdtype)
@@ -311,7 +320,7 @@ def fused_stem2_packed(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
         _stem_kernel_planar2_packed, q=q, cin=cin, c_mid=c_mid,
         c_out=c_out, k0_pad=k0_pad, k1=k1, n_sb=n_sb,
         rem_groups=rem_groups, n_bands1=n_bands1, precision=prec,
-        n_e=n_e, n_o=n_o, sdtype=sdtype, pack1=pack_stage1)
+        n_e=n_e, n_o=n_o, sdtype=sdtype, pack1=pack_stage1, halo=halo)
     out = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -327,7 +336,7 @@ def fused_stem2_packed(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
         out_shape=jax.ShapeDtypeStruct((n, c_out, h // 4, q),
                                        store_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, cin, 72, 4 * q), sdtype),          # xb
+            pltpu.VMEM((2, cin, 64 + halo, 4 * q), sdtype),   # xb
             pltpu.VMEM((4 * k0_pad, 16, 4 * q), sdtype),      # s0
             pltpu.VMEM((c_mid, h_mid, 2 * q), jnp.float32),   # y1
             pltpu.VMEM((2 * k1, 8, 2 * q) if pack_stage1
@@ -383,7 +392,7 @@ def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                              o_ref, xb, s0, y1s, s1, sem, *,
                              q, cin, c_mid, c_out, k0_pad, h4, hv4, g0,
                              n_sb, rem_groups, n_bands1, precision,
-                             n_e, n_o, sdtype):
+                             n_e, n_o, sdtype, halo):
     """s2d-stage-1 double-fused stem kernel (module comment above).
 
     ``g0``: stage-0 groups per superband (4 = the packed kernel's
@@ -424,19 +433,19 @@ def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
     y1s[:, 0:8] = jnp.zeros((4 * c_mid, 8, q), jnp.float32)
     y1s[:, 8 + h4:] = jnp.zeros((4 * c_mid, 8, q), jnp.float32)
 
-    lane0 = jax.lax.broadcasted_iota(jnp.int32, (sb_rows + 8, wq), 1)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (sb_rows + halo, wq), 1)
     lanep = jax.lax.broadcasted_iota(jnp.int32, (g0 * c_mid, 4, q), 2)
 
     def in_dma(i, slot):
         return pltpu.make_async_copy(
-            x_ref.at[b, :, pl.ds(sb_rows * i, sb_rows + 8)], xb.at[slot],
-            sem.at[slot])
+            x_ref.at[b, :, pl.ds(sb_rows * i, sb_rows + halo)],
+            xb.at[slot], sem.at[slot])
 
     def superband(i, slot, n_groups):
         """Same fill + packed dot as _stem_kernel_planar2_packed; the
         pool stores four phase grids instead of two parity blocks."""
         for c in range(cin):
-            big = xb[slot, c]                        # [sb_rows + 8, wq]
+            big = xb[slot, c]                        # [sb_rows+halo, wq]
             for v in range(3):
                 if v == 0:
                     bv = big
@@ -494,7 +503,7 @@ def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
 
     if rem_groups:
         slot = n_sb % 2
-        ep_rows = 16 * rem_groups + 8
+        ep_rows = 16 * rem_groups + halo
         cp = pltpu.make_async_copy(
             x_ref.at[b, :, pl.ds(sb_rows * n_sb, ep_rows)],
             xb.at[slot, :, pl.ds(0, ep_rows)], sem.at[slot])
@@ -589,6 +598,9 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
         "bf16 scratches change numerics unless the dots are DEFAULT"
     g0 = int(groups0)
     assert g0 in (2, 4, 8), groups0
+    # bf16 DMA buffers must cover whole (16, 128) tiles (see
+    # fused_stem2_phase / fused_stem2_packed)
+    halo = 16 if sdtype == jnp.bfloat16 else 8
     w_pad = _round_up(w_in + 2, 128)
     assert w_pad % 4 == 0
     q = w_pad // 4
@@ -603,10 +615,11 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     n_o = w_in // 2 - n_e
 
     xpf = jnp.pad(x.astype(jnp.float32).transpose(0, 3, 1, 2),
-                  ((0, 0), (0, 0), (1, 7 + h_eff - h),
+                  ((0, 0), (0, 0), (1, halo - 1 + h_eff - h),
                    (1, 4 * q - w_in - 1)))
-    xq = (xpf.reshape(n, cin, h_eff + 8, q, 4).transpose(0, 1, 2, 4, 3)
-          .reshape(n, cin, h_eff + 8, 4 * q).astype(sdtype))
+    xq = (xpf.reshape(n, cin, h_eff + halo, q, 4)
+          .transpose(0, 1, 2, 4, 3)
+          .reshape(n, cin, h_eff + halo, 4 * q).astype(sdtype))
     a0 = jnp.pad(w0.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
         c_mid, 9 * cin), ((0, 0), (0, k0_pad - 9 * cin)))
     a0bd = jnp.kron(jnp.eye(g0, dtype=jnp.float32), a0).astype(sdtype)
@@ -638,7 +651,7 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
         _stem_kernel_planar2_s2d, q=q, cin=cin, c_mid=c_mid,
         c_out=c_out, k0_pad=k0_pad, h4=h4, hv4=hv4, g0=g0, n_sb=n_sb,
         rem_groups=rem_groups, n_bands1=n_bands1, precision=prec,
-        n_e=n_e, n_o=n_o, sdtype=sdtype)
+        n_e=n_e, n_o=n_o, sdtype=sdtype, halo=halo)
     out = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -653,7 +666,7 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
                                lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, c_out, h4, q), store_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, cin, 16 * g0 + 8, 4 * q), sdtype),  # xb
+            pltpu.VMEM((2, cin, 16 * g0 + halo, 4 * q), sdtype),  # xb
             pltpu.VMEM((g0 * k0_pad, 16, 4 * q), sdtype),      # s0
             pltpu.VMEM((4 * c_mid, h4 + 16, q), jnp.float32),  # y1s
             pltpu.VMEM((16 * c_mid, 9, q), sdtype),            # s1

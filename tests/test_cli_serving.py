@@ -69,8 +69,18 @@ def test_serving_overrides_shape():
                                     "pallas_deep", "pallas_pair2",
                                     "pallas_maxv", "pallas_max_k256",
                                     "pallas_max_d64", "pallas_max_k128",
+                                    "pallas_max_pk", "pallas_max_s2d",
+                                    "pallas_max_bf16s",
+                                    "pallas_max_pk_bf16s",
+                                    "pallas_max_s2d_bf16s",
                                     "pallas_lat", "s2d",
                                     "bf16_s2d", "int8", "int8_acts"}
+    # the r5 stem-variant presets: scratch dtype rides the variant NAME
+    _, _, _, pkw_pk, over_pk = serving_overrides("pallas_max_pk")
+    assert pkw_pk["pallas_variant"] == "packed"
+    assert over_pk["pre_nms_top_k"] == 128 and over_pk["max_det"] == 64
+    _, _, _, pkw_b, _ = serving_overrides("pallas_max_bf16s")
+    assert pkw_b["pallas_variant"] == "phase_bf16s"
     # the round-4 RoI/latency presets carry their FusionConfig overrides
     _, _, _, _, over_v = serving_overrides("pallas_maxv")
     assert over_v["roi_reduce"] == "vpu"

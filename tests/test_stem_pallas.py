@@ -190,6 +190,17 @@ def test_darknet_pallas_stem_pair_matches_plain():
     np.testing.assert_allclose(np.asarray(got2["detections"]),
                                np.asarray(ref2["detections"]),
                                rtol=1e-6, atol=1e-6)
+    # _bf16s variant names route the SAME kernel with bf16 scratches
+    # (DEFAULT precision enforced by the kernel): detections stay within
+    # the bf16 product-rounding class of the f32-scratch pair
+    bf_net = Darknet(defs, img_size=S, pallas_stem_stages=(0, 2),
+                     pallas_stem_pair=True,
+                     pallas_stem_pair_variant="packed_bf16s",
+                     pallas_stem_precision="default")
+    got3 = bf_net.apply(fp, fs, x)
+    np.testing.assert_allclose(np.asarray(got3["feature_map"]),
+                               np.asarray(ref["feature_map"]),
+                               rtol=0.05, atol=0.05)
 
 
 def test_pallas_stem_pair_validation():
@@ -197,6 +208,15 @@ def test_pallas_stem_pair_validation():
     with pytest.raises(ValueError, match="consecutive"):
         Darknet(tiny_yolov3_defs(num_classes=12, img_size=64), img_size=64,
                 pallas_stem_stages=(0, 4), pallas_stem_pair=True)
+    # scratch dtype rides the variant NAME (r5): _bf16s suffixes are
+    # valid for the kernel families, typos and select_bf16s are not
+    for bad in ("packedx", "select_bf16s", "phase_bf16"):
+        with pytest.raises(ValueError, match="pair_variant"):
+            Darknet(tiny_yolov3_defs(num_classes=12, img_size=64),
+                    img_size=64, pallas_stem_pair_variant=bad)
+    for ok in ("phase_bf16s", "packed_bf16s", "s2d_bf16s", "s2d8_bf16s"):
+        Darknet(tiny_yolov3_defs(num_classes=12, img_size=64),
+                img_size=64, pallas_stem_pair_variant=ok)
 
 
 def test_serving_preset_pallas_stem_builds():
@@ -253,6 +273,50 @@ def test_fused_stem2_phase_rejects_bf16_scratch_at_highest():
     with pytest.raises(AssertionError):
         fused_stem2_phase(x, w0, jnp.zeros(8), w1, jnp.zeros(16),
                           interpret=True, scratch_dtype=jnp.bfloat16)
+
+
+def test_fused_stem2_phase_bf16_bisect_and_f32_default_twins():
+    """Round-5 additions: (a) the ``bf16_only`` bisect knob (ONE buffer
+    bf16 at a time — the on-chip compile-crash localizer for the
+    bf16-scratch variants) stays within DEFAULT-dot rounding of the
+    exact two-stage result; (b) the DEFAULT-precision f32-scratch
+    packed/s2d kernels — the flagship-replacement candidates the r4
+    gate never measured — match the phase kernel to accumulation-order
+    tolerance (identical products, identical operand rounding)."""
+    from millieye_tpu.ops.stem_pallas import (fused_stem2_packed,
+                                              fused_stem2_phase,
+                                              fused_stem2_s2d)
+
+    n, h, wd, cin, cmid, cout = 1, 64, 52, 3, 16, 32
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (n, h, wd, cin)), jnp.float32)
+    w0 = jnp.asarray(0.3 * rng.standard_normal((3, 3, cin, cmid)),
+                     jnp.float32)
+    b0 = jnp.asarray(0.1 * rng.standard_normal(cmid), jnp.float32)
+    w1 = jnp.asarray(0.3 * rng.standard_normal((3, 3, cmid, cout)),
+                     jnp.float32)
+    b1 = jnp.asarray(0.1 * rng.standard_normal(cout), jnp.float32)
+    ref = np.asarray(_plain(_plain(x, w0, b0), w1, b1))
+    for part in ("xb", "s0", "s1"):
+        got = fused_stem2_phase(x, w0, b0, w1, b1, interpret=True,
+                                precision="default", bf16_only=part)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=0.05,
+                                   rtol=0.03, err_msg=part)
+    # bf16_only bisects the f32-scratch kernel only
+    with pytest.raises(AssertionError):
+        fused_stem2_phase(x, w0, b0, w1, b1, interpret=True,
+                          precision="default",
+                          scratch_dtype=jnp.bfloat16, bf16_only="xb")
+    with pytest.raises(AssertionError):
+        fused_stem2_phase(x, w0, b0, w1, b1, interpret=True,
+                          bf16_only="xb")
+    ph = np.asarray(fused_stem2_phase(x, w0, b0, w1, b1, interpret=True,
+                                      precision="default"))
+    for fn in (fused_stem2_packed, fused_stem2_s2d):
+        got = np.asarray(fn(x, w0, b0, w1, b1, interpret=True,
+                            precision="default"))
+        np.testing.assert_allclose(got, ph, atol=1e-5, rtol=1e-5,
+                                   err_msg=fn.__name__)
 
 
 def test_serving_preset_pallas_max_builds_and_runs():
