@@ -274,6 +274,26 @@ def main():
                 ("bfloat16", "pallas_max_s2d_bf16s", (), False, False,
                  (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
                  "default", "s2d_bf16s", "pallas", "first", "dot",
+                 {"pre_nms_top_k": 128, "max_det": 64}),
+                # bf16 patch scratches over the f32 DMA (the two chip-
+                # proven bf16 buffers from the r5 bisect)
+                ("bfloat16", "pallas_max_s01", (), False, False,
+                 (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
+                 "default", "phase_s01", "pallas", "first", "dot",
+                 {"pre_nms_top_k": 128, "max_det": 64}),
+                # stem input as a pipelined VMEM block (no user DMA);
+                # the _bf16s twin also halves the input HBM read
+                ("bfloat16", "pallas_max_vm", (), False, False,
+                 (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
+                 "default", "phase_vmem", "pallas", "first", "dot",
+                 {"pre_nms_top_k": 128, "max_det": 64}),
+                ("bfloat16", "pallas_max_vm_s01", (), False, False,
+                 (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
+                 "default", "phase_vmem_s01", "pallas", "first", "dot",
+                 {"pre_nms_top_k": 128, "max_det": 64}),
+                ("bfloat16", "pallas_max_vm_bf16s", (), False, False,
+                 (0, 2, 4), "float16", (), "bfloat16", (0, 2), True,
+                 "default", "phase_vmem_bf16s", "pallas", "first", "dot",
                  {"pre_nms_top_k": 128, "max_det": 64}))
     global _DROPPED_STALE
     # comma-separated EXACT variant names: substring matching would pull

@@ -268,11 +268,75 @@ def main_pair2(rng=None):
             print(f"  {name:.<22} FAILED {str(e)[:140]}", flush=True)
 
 
+def main_stem2new():
+    """Round-5b candidates only (argv[1] == "stem2new") — a tight gate
+    for tunnel iteration: the baseline phase_default plus the spellings
+    built on the r5 bisect verdict (bf16 s0+s1 compile and win; bf16 xb
+    DMA crashes): phase_s0s1 (bf16 scratches over the f32 DMA) and the
+    vmem-input kernel (no user DMA; the only chip-legal bf16-input
+    path). Exactness is asserted vs phase_default (identical products
+    for vmem_def; DEFAULT-rounding class for the bf16-scratch rows)."""
+    rng = np.random.default_rng(0)
+    b_sz, h, cin, cmid, cout = 32, 416, 3, 16, 32
+    x = jnp.asarray(rng.uniform(-1, 1, (b_sz, h, h, cin)), jnp.float32)
+    w0 = jnp.asarray(0.1 * rng.standard_normal((3, 3, cin, cmid)),
+                     jnp.float32)
+    b0 = jnp.asarray(0.05 * rng.standard_normal(cmid), jnp.float32)
+    w1 = jnp.asarray(0.1 * rng.standard_normal((3, 3, cmid, cout)),
+                     jnp.float32)
+    b1 = jnp.asarray(0.05 * rng.standard_normal(cout), jnp.float32)
+
+    ph_def = np.asarray(fused_stem2_phase(x, w0, b0, w1, b1,
+                                          precision="default"))
+    variants = (
+        ("phase_s0s1", dict(precision="default", bf16_only="s0s1"),
+         2e-2),
+        ("vmem_def", dict(precision="default", input_mode="vmem"),
+         1e-5),
+        ("vmem_s0s1", dict(precision="default", input_mode="vmem",
+                           bf16_only="s0s1"), 2e-2),
+        ("vmem_bf16s", dict(precision="default", input_mode="vmem",
+                            scratch_dtype=jnp.bfloat16), 2e-2),
+    )
+    for nm, kw, tol in variants:
+        try:
+            e_v = np.abs(np.asarray(fused_stem2_phase(
+                x, w0, b0, w1, b1, **kw)) - ph_def).max()
+            ok = "ok" if e_v < tol else "EXCEEDS TOL"
+            print(f"stem2new_{nm} vs phase_default maxerr {e_v:.2e} {ok}",
+                  flush=True)
+        except Exception as e:
+            print(f"stem2new_{nm} FAILED {str(e)[:200]}", flush=True)
+
+    for name, f in (
+        ("phase_default", lambda z: fused_stem2_phase(
+            z, w0, b0, w1, b1, precision="default")),
+        ("phase_s0s1", lambda z: fused_stem2_phase(
+            z, w0, b0, w1, b1, precision="default", bf16_only="s0s1")),
+        ("vmem_def", lambda z: fused_stem2_phase(
+            z, w0, b0, w1, b1, precision="default", input_mode="vmem")),
+        ("vmem_s0s1", lambda z: fused_stem2_phase(
+            z, w0, b0, w1, b1, precision="default", input_mode="vmem",
+            bf16_only="s0s1")),
+        ("vmem_bf16s", lambda z: fused_stem2_phase(
+            z, w0, b0, w1, b1, precision="default", input_mode="vmem",
+            scratch_dtype=jnp.bfloat16)),
+    ):
+        try:
+            t = bench_scanned(f, x, k=10)
+            print(f"  {name:.<18} {t*1e6:.0f} us/batch "
+                  f"({b_sz/t:.0f} fps)", flush=True)
+        except Exception as e:
+            print(f"  {name:.<18} FAILED {str(e)[:140]}", flush=True)
+
+
 def main():
     rng = np.random.default_rng(0)
     variant = sys.argv[1] if len(sys.argv) > 1 else "batched"
     if variant == "stem2":
         return main_stem2()
+    if variant == "stem2new":
+        return main_stem2new()
     if variant == "deep":
         return main_deep()
     if variant == "pair2":

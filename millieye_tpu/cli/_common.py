@@ -247,6 +247,46 @@ SERVING_PRESETS = {
                              "roi_impl": "pallas",
                              "roi_precision": "default",
                              "pre_nms_top_k": 128, "max_det": 64},
+    # pallas_max_k128 with bf16 PATCH SCRATCHES over the f32 DMA — the
+    # two bf16 buffers the r5 on-chip bisect proved to compile AND each
+    # beat the all-f32 stem standalone (s0 2650 / s1 2607 vs 2746 us;
+    # the bf16 xb DMA is the crash vector and stays f32). Numerics are
+    # bit-identical at DEFAULT dots.
+    "pallas_max_s01": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                       "hi_store": "float16", "heads_dtype": "bfloat16",
+                       "pallas": (0, 2), "pallas_pair": True,
+                       "pallas_precision": "default",
+                       "pallas_variant": "phase_s01",
+                       "roi_impl": "pallas", "roi_precision": "default",
+                       "pre_nms_top_k": 128, "max_det": 64},
+    # pallas_max_k128 with the stem input as a pipelined VMEM block
+    # (no user DMA); _bf16s additionally halves the input HBM read +
+    # the patch fills — the full bf16 win without the crashing bf16 DMA
+    "pallas_max_vm": {"compute_dtype": "bfloat16", "hi_prec": (0, 2, 4),
+                      "hi_store": "float16", "heads_dtype": "bfloat16",
+                      "pallas": (0, 2), "pallas_pair": True,
+                      "pallas_precision": "default",
+                      "pallas_variant": "phase_vmem",
+                      "roi_impl": "pallas", "roi_precision": "default",
+                      "pre_nms_top_k": 128, "max_det": 64},
+    "pallas_max_vm_s01": {"compute_dtype": "bfloat16",
+                          "hi_prec": (0, 2, 4), "hi_store": "float16",
+                          "heads_dtype": "bfloat16", "pallas": (0, 2),
+                          "pallas_pair": True,
+                          "pallas_precision": "default",
+                          "pallas_variant": "phase_vmem_s01",
+                          "roi_impl": "pallas",
+                          "roi_precision": "default",
+                          "pre_nms_top_k": 128, "max_det": 64},
+    "pallas_max_vm_bf16s": {"compute_dtype": "bfloat16",
+                            "hi_prec": (0, 2, 4), "hi_store": "float16",
+                            "heads_dtype": "bfloat16", "pallas": (0, 2),
+                            "pallas_pair": True,
+                            "pallas_precision": "default",
+                            "pallas_variant": "phase_vmem_bf16s",
+                            "roi_impl": "pallas",
+                            "roi_precision": "default",
+                            "pre_nms_top_k": 128, "max_det": 64},
     # latency-first b1 serving: half the NMS candidate set (top-256 —
     # exactness at the serving conf 0.2 monitored by
     # ops.nms.pre_top_k_sufficient) + the block-sequential NMS kernel

@@ -239,9 +239,11 @@ class Darknet:
                         if pallas_stem_pair_variant.endswith("_bf16s")
                         else pallas_stem_pair_variant)
         if (base_variant not in ("select", "phase", "packed", "s2d",
-                                 "s2d8")
+                                 "s2d8", "phase_s01", "phase_vmem",
+                                 "phase_vmem_s01")
                 or (pallas_stem_pair_variant.endswith("_bf16s")
-                    and base_variant == "select")):
+                    and base_variant in ("select", "phase_s01",
+                                         "phase_vmem_s01"))):
             raise ValueError(
                 f"unknown pallas_stem_pair_variant "
                 f"{pallas_stem_pair_variant!r} (a typo would otherwise "
@@ -513,6 +515,18 @@ class Darknet:
                 bf16s = variant.endswith("_bf16s")
                 base = variant[:-6] if bf16s else variant
                 pair_fn = {"phase": fused_stem2_phase,
+                           # bf16 patch scratches over an f32 DMA (the
+                           # two chip-proven bf16 buffers; bf16 xb DMA
+                           # is the compile-crash vector)
+                           "phase_s01": functools.partial(
+                               fused_stem2_phase, bf16_only="s0s1"),
+                           # input as a pipelined VMEM block (no user
+                           # DMA — the only chip-legal bf16-input path)
+                           "phase_vmem": functools.partial(
+                               fused_stem2_phase, input_mode="vmem"),
+                           "phase_vmem_s01": functools.partial(
+                               fused_stem2_phase, input_mode="vmem",
+                               bf16_only="s0s1"),
                            "packed": fused_stem2_packed,
                            "s2d": fused_stem2_s2d,
                            "s2d8": functools.partial(fused_stem2_s2d,

@@ -834,12 +834,113 @@ def _stem_kernel_planar2_phase(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
     jax.lax.fori_loop(0, n_bands1, band1, 0)
 
 
+def _stem_kernel_planar2_phase_vmem(x_ref, a0_ref, b0_ref, a1_ref,
+                                    b1_ref, o_ref, s0, y1, s1, *,
+                                    q, cin, c_mid, c_out, k0_pad, k1,
+                                    n_bands0, n_bands1, precision, n_e,
+                                    n_o, s0_dt, s1_dt, in_rows):
+    """``_stem_kernel_planar2_phase`` with the input as a per-image VMEM
+    BlockSpec instead of revolving DMA buffers: band reads are direct
+    ref slices, the Pallas pipeline stages the HBM fetch across grid
+    steps, and a bf16 input works (the bf16 user-DMA is the chip's
+    compile-crash vector — wrapper docstring). Stage-1 is identical."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    a0 = a0_ref[...]                      # [c_mid, K0_pad]
+    bias0 = b0_ref[...]                   # [c_mid, 1]
+    a1 = a1_ref[...]                      # [c_out, K1]
+    bias1 = b1_ref[...]                   # [c_out, 1]
+    wq = 4 * q
+    w_mid = 2 * q
+
+    if k0_pad > 9 * cin:
+        s0[9 * cin:] = jnp.zeros((k0_pad - 9 * cin, 16, wq), s0_dt)
+    y1[:, 0:8] = jnp.zeros((c_mid, 8, w_mid), jnp.float32)
+    tail = y1.shape[1] - (8 + 8 * n_bands0)
+    if tail:
+        y1[:, 8 + 8 * n_bands0:] = jnp.zeros((c_mid, tail, w_mid),
+                                             jnp.float32)
+
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (in_rows, wq), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (32, w_mid), 1)
+    lanep = jax.lax.broadcasted_iota(jnp.int32, (c_mid, 8, q), 2)
+
+    def band0(i, _):
+        r0 = pl.multiple_of(16 * i, 8)
+        for c in range(cin):
+            big = x_ref[c, pl.dslice(r0, in_rows)]        # [in_rows, wq]
+            for v in range(3):
+                if v == 0:
+                    bv = big
+                else:
+                    sh = (4 - v) * q
+                    t = pltpu.roll(big, sh, 1)         # src = dest + v*q
+                    fx = pltpu.roll(big, sh - 1, 1)    # src = dest + v*q+1
+                    bv = jnp.where(lane0 >= (4 - v) * q, fx, t)
+                for u in range(3):
+                    sv, du = _u_shifted(bv, u, bv.dtype)
+                    val = sv[du:du + 16]
+                    if val.dtype != s0_dt:
+                        val = val.astype(s0_dt)
+                    s0[c * 9 + u * 3 + v] = val
+        z = s0[...].reshape(k0_pad, 16 * wq)
+        y = jax.lax.dot_general(
+            a0, z, (((1,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32)            # [c_mid, 16wq]
+        y = y + bias0
+        y = jnp.where(y > 0, y, 0.1 * y)
+        y3 = y.reshape(c_mid, 8, 2 * wq)
+        rmax = jnp.maximum(y3[:, :, :wq], y3[:, :, wq:])   # [c_mid, 8, wq]
+        pe = jnp.maximum(rmax[:, :, 0:q], rmax[:, :, q:2 * q])
+        po = jnp.maximum(rmax[:, :, 2 * q:3 * q], rmax[:, :, 3 * q:])
+        pe = jnp.where(lanep < n_e, pe, 0.0)
+        po = jnp.where(lanep < n_o, po, 0.0)
+        r = pl.multiple_of(8 + 8 * i, 8)
+        y1[:, pl.dslice(r, 8), 0:q] = pltpu.roll(po, 1, 2)
+        y1[:, pl.dslice(r, 8), q:2 * q] = pe
+        return 0
+
+    jax.lax.fori_loop(0, n_bands0, band0, 0)
+
+    def band1(i, _):
+        r1 = pl.multiple_of(16 * i, 8)
+        for c in range(c_mid):
+            big = y1[c, pl.dslice(r1, 32)]                 # [32, 2q] f32
+            for v in range(3):
+                if v == 0:
+                    bv = big
+                elif v == 1:
+                    t = pltpu.roll(big, q, 1)          # src = dest + q
+                    fx = pltpu.roll(big, q - 1, 1)     # src = dest + q+1
+                    bv = jnp.where(lane1 >= q, fx, t)
+                else:
+                    bv = pltpu.roll(big, 2 * q - 1, 1)
+                for u in range(3):
+                    s1[c * 9 + u * 3 + v] = bv[u + 7:u + 23].astype(s1_dt)
+        z = s1[...].reshape(k1, 16 * w_mid)
+        y = jax.lax.dot_general(
+            a1, z, (((1,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32)            # [c_out, 16*2q]
+        y = y + bias1
+        y = jnp.where(y > 0, y, 0.1 * y)
+        y3 = y.reshape(c_out, 8, 2 * w_mid)
+        rmax = jnp.maximum(y3[:, :, :w_mid], y3[:, :, w_mid:])
+        pooled = jnp.maximum(rmax[:, :, 0:q], rmax[:, :, q:])
+        o_ref[:, pl.dslice(pl.multiple_of(8 * i, 8), 8)] = pooled.astype(
+            o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_bands1, band1, 0)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "out_dtype", "precision",
-                                    "scratch_dtype", "bf16_only"))
+                                    "scratch_dtype", "bf16_only",
+                                    "input_mode"))
 def fused_stem2_phase(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
                       precision="highest", scratch_dtype=None,
-                      bf16_only=None):
+                      bf16_only=None, input_mode="dma"):
     """Phase-split spelling of ``fused_stem2_planar`` — same contract:
 
     [N, H, W, C] -> [N, H/4, W/4, D1] ==
@@ -859,9 +960,24 @@ def fused_stem2_phase(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     (whole f32 tiles, fractional bf16 tiles) are the one structural
     difference (runs/r4_campaign/03_stem_gate.log).
 
-    ``bf16_only`` (None | "xb" | "s0" | "s1", precision="default" +
-    f32 ``scratch_dtype`` only): flips ONE buffer to bf16 — the
-    compile-crash bisect knob for benchmarks/stem_pallas_check.py.
+    ``bf16_only`` (None | "xb" | "s0" | "s1" | "s0s1",
+    precision="default" + f32 ``scratch_dtype`` only): flips the named
+    buffer(s) to bf16 — the compile-crash bisect knob for
+    benchmarks/stem_pallas_check.py. The r5 on-chip gate verdict
+    (runs/r5_campaign/stem_gate.log): bf16 s0 (2650 us) and bf16 s1
+    (2607) each compile AND beat the all-f32 kernel (2746); bf16 xb
+    still crashes the compile helper even with the 32-row tile-aligned
+    DMA — the bf16 HBM->VMEM user DMA itself is the crash vector.
+    "s0s1" combines the two proven wins over an f32 DMA.
+
+    ``input_mode`` ("dma" | "vmem"): "vmem" drops the revolving xb
+    DMA buffers entirely — the input rides a per-image VMEM BlockSpec
+    (Pallas pipelines the HBM fetch across grid steps) and band reads
+    are direct ref slices. This is the only path to a bf16 INPUT
+    (halving the dominant HBM read) given the bf16 user-DMA crash; it
+    fits VMEM because the round-3 16 MB scoped budget was raised to 64
+    (one 416px image block is 2.65 MB f32 / 1.33 MB bf16, double-
+    buffered by the pipeline).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -872,22 +988,30 @@ def fused_stem2_phase(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     assert w0.shape[:3] == (3, 3, cin), w0.shape
     assert w1.shape[:3] == (3, 3, c_mid), w1.shape
     assert h % 32 == 0 and w_in % 4 == 0, (h, w_in)
+    assert input_mode in ("dma", "vmem"), input_mode
     out_dtype = jnp.dtype(out_dtype or x.dtype)
     store_dtype = (jnp.dtype(jnp.float32) if out_dtype == jnp.float16
                    else out_dtype)
     sdtype = jnp.dtype(scratch_dtype or jnp.float32)
     assert sdtype == jnp.float32 or precision == "default", \
         "bf16 scratches change numerics unless the dots are DEFAULT"
-    assert bf16_only in (None, "xb", "s0", "s1"), bf16_only
+    assert bf16_only in (None, "xb", "s0", "s1", "s0s1"), bf16_only
     if bf16_only is not None:
         assert sdtype == jnp.float32 and precision == "default", \
             "bf16_only bisects the f32-scratch default-precision kernel"
     bf16 = jnp.dtype(jnp.bfloat16)
     xb_dt = bf16 if (sdtype == bf16 or bf16_only == "xb") else jnp.float32
-    s0_dt = bf16 if (sdtype == bf16 or bf16_only == "s0") else jnp.float32
-    s1_dt = bf16 if (sdtype == bf16 or bf16_only == "s1") else jnp.float32
-    dma_rows = 32 if xb_dt == bf16 else 24
-    pad_bot = dma_rows - 16 - 1           # 7 (f32) or 15 (bf16)
+    s0_dt = (bf16 if (sdtype == bf16 or bf16_only in ("s0", "s0s1"))
+             else jnp.float32)
+    s1_dt = (bf16 if (sdtype == bf16 or bf16_only in ("s1", "s0s1"))
+             else jnp.float32)
+    if input_mode == "vmem":
+        # direct ref slices — no DMA, no tile-extent constraint
+        dma_rows = 24
+        pad_bot = 7
+    else:
+        dma_rows = 32 if xb_dt == bf16 else 24
+        pad_bot = dma_rows - 16 - 1       # 7 (f32) or 15 (bf16)
     w_pad = _round_up(w_in + 2, 128)
     assert w_pad % 4 == 0
     q = w_pad // 4
@@ -913,16 +1037,41 @@ def fused_stem2_phase(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     a1 = w1.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
         c_out, k1).astype(s1_dt)
 
-    kernel = functools.partial(
-        _stem_kernel_planar2_phase, q=q, cin=cin, c_mid=c_mid,
-        c_out=c_out, k0_pad=k0_pad, k1=k1, n_bands0=n_bands0,
-        n_bands1=n_bands1, precision=prec, n_e=n_e, n_o=n_o,
-        xb_dt=xb_dt, s0_dt=s0_dt, s1_dt=s1_dt, dma_rows=dma_rows)
+    if input_mode == "vmem":
+        kernel = functools.partial(
+            _stem_kernel_planar2_phase_vmem, q=q, cin=cin, c_mid=c_mid,
+            c_out=c_out, k0_pad=k0_pad, k1=k1, n_bands0=n_bands0,
+            n_bands1=n_bands1, precision=prec, n_e=n_e, n_o=n_o,
+            s0_dt=s0_dt, s1_dt=s1_dt, in_rows=dma_rows)
+        in0 = pl.BlockSpec((None, cin, h + 1 + pad_bot, 4 * q),
+                           lambda i: (i, 0, 0, 0))
+        scratch = [
+            pltpu.VMEM((k0_pad, 16, 4 * q), s0_dt),           # s0
+            pltpu.VMEM((c_mid, h_mid, 2 * q), jnp.float32),   # y1
+            pltpu.VMEM((k1, 16, 2 * q), s1_dt),               # s1
+        ]
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+    else:
+        kernel = functools.partial(
+            _stem_kernel_planar2_phase, q=q, cin=cin, c_mid=c_mid,
+            c_out=c_out, k0_pad=k0_pad, k1=k1, n_bands0=n_bands0,
+            n_bands1=n_bands1, precision=prec, n_e=n_e, n_o=n_o,
+            xb_dt=xb_dt, s0_dt=s0_dt, s1_dt=s1_dt, dma_rows=dma_rows)
+        in0 = pl.BlockSpec(memory_space=pl.ANY)           # xq: HBM + DMA
+        scratch = [
+            pltpu.VMEM((2, cin, dma_rows, 4 * q), xb_dt),     # xb
+            pltpu.VMEM((k0_pad, 16, 4 * q), s0_dt),           # s0
+            pltpu.VMEM((c_mid, h_mid, 2 * q), jnp.float32),   # y1
+            pltpu.VMEM((k1, 16, 2 * q), s1_dt),               # s1
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        params = None
     out = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),             # xq: HBM + DMA
+            in0,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -932,13 +1081,8 @@ def fused_stem2_phase(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
                                lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, c_out, h // 4, q),
                                        store_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, cin, dma_rows, 4 * q), xb_dt),     # xb
-            pltpu.VMEM((k0_pad, 16, 4 * q), s0_dt),           # s0
-            pltpu.VMEM((c_mid, h_mid, 2 * q), jnp.float32),   # y1
-            pltpu.VMEM((k1, 16, 2 * q), s1_dt),               # s1
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
+        **({"compiler_params": params} if params else {}),
         interpret=interpret,
     )(xq, a0, b0.astype(jnp.float32).reshape(c_mid, 1), a1,
       b1.astype(jnp.float32).reshape(c_out, 1))

@@ -392,7 +392,7 @@ def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
                              o_ref, xb, s0, y1s, s1, sem, *,
                              q, cin, c_mid, c_out, k0_pad, h4, hv4, g0,
                              n_sb, rem_groups, n_bands1, precision,
-                             n_e, n_o, sdtype, halo):
+                             n_e, n_o, sdtype, halo, lane_pack):
     """s2d-stage-1 double-fused stem kernel (module comment above).
 
     ``g0``: stage-0 groups per superband (4 = the packed kernel's
@@ -547,7 +547,47 @@ def _stem_kernel_planar2_s2d(x_ref, a0_ref, b0_ref, a1_ref, b1_ref,
         o_ref[:, pl.dslice(r8, 8)] = out.astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, n_bands1, band1, 0)
+    def band1_packed(i, _):
+        """``lane_pack`` output bands (8*lane_pack rows) share ONE dot:
+        lane block bnd of the s1 scratch holds band (lane_pack*i+bnd)'s
+        [9, q] patch slab, so the scratch collapse becomes
+        [16c_mid, 9, lane_pack*q] -> [16c_mid, 9*lane_pack*q] with
+        lane_pack*q a 128-multiple — a legal cast where 9q (e.g. 288 at
+        the deep pair's q=32) is the clean Mosaic reject. The g01/g11
+        lane rolls cross block boundaries only at each block's last
+        lane, which sits beyond the n_out valid cols and is sliced off
+        by the wrapper's unpack."""
+        p = lane_pack
+        r0 = pl.multiple_of(8 * p * i, 8)
+        for ch in range(4 * c_mid):
+            big = y1s[ch, pl.dslice(r0, 8 * p + 16)]
+            for bnd in range(p):
+                u10 = big[7 + 8 * bnd:17 + 8 * bnd]        # [10, q]
+                r10 = pltpu.roll(u10, 1, 1)   # lane j <- P col j-1
+                lo = q * bnd
+                s1[4 * ch + 0, :, lo:lo + q] = r10[0:9].astype(sdtype)
+                s1[4 * ch + 1, :, lo:lo + q] = u10[0:9].astype(sdtype)
+                s1[4 * ch + 2, :, lo:lo + q] = r10[1:10].astype(sdtype)
+                s1[4 * ch + 3, :, lo:lo + q] = u10[1:10].astype(sdtype)
+        z = s1[...].reshape(16 * c_mid, 9 * p * q)
+        y = jax.lax.dot_general(
+            a1, z, (((1,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32)        # [4*c_out, 9pq]
+        y = y + bias1
+        y = jnp.where(y > 0, y, 0.1 * y)
+        g4 = y.reshape(4 * c_out, 9, p * q)
+        g00 = g4[0:c_out]
+        g01 = pltpu.roll(g4[c_out:2 * c_out], p * q - 1, 2)
+        g10 = g4[2 * c_out:3 * c_out]
+        g11 = pltpu.roll(g4[3 * c_out:], p * q - 1, 2)
+        out = jnp.maximum(jnp.maximum(g00[:, 0:8], g01[:, 0:8]),
+                          jnp.maximum(g10[:, 1:9], g11[:, 1:9]))
+        o_ref[:, pl.dslice(pl.multiple_of(8 * i, 8), 8)] = out.astype(
+            o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_bands1,
+                      band1 if lane_pack == 1 else band1_packed, 0)
 
 
 @functools.partial(jax.jit,
@@ -609,7 +649,19 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     rem_groups = (h_eff % (16 * g0)) // 16       # even, given h_eff % 32 == 0
     h4 = h_eff // 4
     hv4 = h // 4
-    n_bands1 = h4 // 8
+    # stage-1 lane packing: when 9q is not a 128-multiple (the deep
+    # pair's q=32 -> 288-lane collapse, the clean Mosaic reject), pack
+    # lane_pack output bands side by side in the s1 lanes so the
+    # collapse stays at 128*k (band1_packed in the kernel). Requires
+    # h4 to split into whole superbands; falls back to the unpacked
+    # spelling (interpret-only at such shapes) otherwise.
+    lane_pack = 1
+    if (9 * q) % 128:
+        for p in (2, 4):
+            if (p * q) % 128 == 0 and h4 % (8 * p) == 0:
+                lane_pack = p
+                break
+    n_bands1 = h4 // (8 * lane_pack)
     prec = _PRECISIONS[precision]
     n_e = (w_in // 2 + 1) // 2
     n_o = w_in // 2 - n_e
@@ -651,7 +703,7 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
         _stem_kernel_planar2_s2d, q=q, cin=cin, c_mid=c_mid,
         c_out=c_out, k0_pad=k0_pad, h4=h4, hv4=hv4, g0=g0, n_sb=n_sb,
         rem_groups=rem_groups, n_bands1=n_bands1, precision=prec,
-        n_e=n_e, n_o=n_o, sdtype=sdtype, halo=halo)
+        n_e=n_e, n_o=n_o, sdtype=sdtype, halo=halo, lane_pack=lane_pack)
     out = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -662,19 +714,27 @@ def fused_stem2_s2d(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, c_out, h4, q),
+        out_specs=pl.BlockSpec((None, c_out, h4 // lane_pack,
+                                lane_pack * q),
                                lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, c_out, h4, q), store_dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, c_out, h4 // lane_pack, lane_pack * q), store_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, cin, 16 * g0 + halo, 4 * q), sdtype),  # xb
             pltpu.VMEM((g0 * k0_pad, 16, 4 * q), sdtype),      # s0
             pltpu.VMEM((4 * c_mid, h4 + 16, q), jnp.float32),  # y1s
-            pltpu.VMEM((16 * c_mid, 9, q), sdtype),            # s1
+            pltpu.VMEM((16 * c_mid, 9, lane_pack * q), sdtype),  # s1
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xq, a0bd, b0bd, a1s, b1s)
+    if lane_pack > 1:
+        # unpack: packed row R = 8*i + r, lane block bnd -> grid row
+        # 8*(lane_pack*i + bnd) + r
+        p = lane_pack
+        out = (out.reshape(n, c_out, h4 // (8 * p), 8, p, q)
+               .transpose(0, 1, 2, 4, 3, 5).reshape(n, c_out, h4, q))
     return (out[:, :, :hv4, :w_in // 4].transpose(0, 2, 3, 1)
             .astype(out_dtype))

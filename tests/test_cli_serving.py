@@ -70,6 +70,9 @@ def test_serving_overrides_shape():
                                     "pallas_maxv", "pallas_max_k256",
                                     "pallas_max_d64", "pallas_max_k128",
                                     "pallas_max_pk", "pallas_max_s2d",
+                                    "pallas_max_s01", "pallas_max_vm",
+                                    "pallas_max_vm_s01",
+                                    "pallas_max_vm_bf16s",
                                     "pallas_max_bf16s",
                                     "pallas_max_pk_bf16s",
                                     "pallas_max_s2d_bf16s",

@@ -14,6 +14,19 @@ from jax import lax
 from millieye_tpu.ops.stem_pallas import fused_stem, fused_stem_planar
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_between_tests():
+    """Per-TEST compiler-state flush, this module only. The module-
+    boundary flush (conftest) bounds cross-module accumulation, but
+    this file alone now compiles ~40 big interpret-Pallas graphs and
+    reproducibly re-hit the XLA:CPU backend_compile segfault WITHIN the
+    module once the r5 tests were added (crash at the second-to-last
+    test, serial and concurrent runs alike; every test passes alone).
+    Recompiles are absorbed by the persistent ``.jax_cache_cpu``."""
+    yield
+    jax.clear_caches()
+
+
 def _plain(x, w, b):
     y = lax.conv_general_dilated(x, w, (1, 1), [(1, 1), (1, 1)],
                                  dimension_numbers=("NHWC", "HWIO",
