@@ -61,8 +61,19 @@ from millieye_tpu.ops.stem_pallas import (_PRECISIONS, _round_up,
 # stage 0. The fill work is unchanged (same [16, wq] copies, 4x per
 # superband, 4x fewer superbands). Stage 1 (K=144, M=32, ~28% per-pass
 # utilization) is left in the phase formulation — packing would push
-# K past 128. Projected stage-0 dot time: ~4x down; kernel total
-# ~2.8 -> ~1.6 ms/b32.
+# K past 128.
+#
+# MEASURED NEGATIVE (r5 gate, runs/r5_campaign/stem_gate.log): at
+# DEFAULT one-pass dots, packed_default = 3114 us vs phase_default
+# 2746 (pack_stage1=False: 3000; HIGHEST: 5068 vs 4244). The
+# "column-streaming bound" premise above was wrong — the VPU patch
+# FILLS dominate the kernel (r3b component profile: fills 1-1.5 ms of
+# the ~2.8 ms pair), so shrinking MXU column passes 4x buys nothing
+# while the 4x-larger s0 and block-diagonal weights add overhead. The
+# fill-side levers are what pay: bf16 s0/s1 scratches (2650/2607 us
+# single-buffer, chip-proven) and the VMEM-block input — see
+# fused_stem2_phase. Kept as an exact, tested opt-in and as the record
+# of why the packing family is closed.
 #
 # Epilogue: h % 64 == 32 leaves a half superband — it runs the same
 # band body statically with n_groups=2 (groups 2/3 would compute from

@@ -412,7 +412,8 @@ def test_fused_stem2_packed_matches_two_stages(shape):
 
 def test_serving_preset_pallas_packed_builds_and_runs():
     """pallas_packed preset (K-packed stem pair + pallas RoI): builds,
-    darknet passes bf16 scratches at default precision, and one mode-0
+    darknet passes f32 scratches (scratch dtype rides the variant
+    NAME since r5 — bf16 was the compile-crash config), and one mode-0
     forward on CPU (interpret kernels) returns finite boxes."""
     import numpy as np
     from millieye_tpu.cli._common import build_fusion, serving_overrides
@@ -543,7 +544,8 @@ def test_fused_stem2_s2d_deep_pair_channels():
 
 def test_serving_preset_pallas_s2d_builds_and_runs():
     """pallas_s2d preset: builds, darknet dispatches the s2d pair kernel
-    with bf16 scratches at default precision, and one mode-0 forward on
+    with f32 scratches at default precision (r5: scratch dtype rides
+    the variant name), and one mode-0 forward on
     CPU (interpret kernels) returns finite boxes."""
     import numpy as np
     from millieye_tpu.cli._common import build_fusion, serving_overrides
@@ -716,7 +718,7 @@ def test_pallas_deep_matches_s2d_preset():
 
 def test_pallas_preset_family_cross_parity():
     """pallas_packed / pallas_s2d / pallas_s2d8 share the same dots
-    (DEFAULT precision, bf16 scratches, pallas RoI) — at identical
+    (DEFAULT precision, f32 scratches since r5, pallas RoI) — at identical
     weights the three presets must produce the same detections to the
     bf16 rounding class, and the identical keep set."""
     import numpy as np
