@@ -307,6 +307,14 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
                 # this row IS the pallas_max_d64 preset's accuracy —
                 # record it under both names
                 results[f"map50_pallas_max_d64_{light}"] = m
+            if name == "pallas_max_k128":
+                # pallas_max_s01 differs from k128 only in the stem
+                # kernel's scratch dtype, and phase_s01 is BIT-IDENTICAL
+                # to phase at DEFAULT dots (r5b on-chip gate maxerr
+                # 0.00e+00, runs/r5b/gate.log; interpret parity in
+                # tests/test_stem_pallas.py) — the k128 row IS the s01
+                # preset's accuracy
+                results[f"map50_pallas_max_s01_{light}"] = m
             print(f"{name} {light}: mAP@0.5 = {m}", flush=True)
             _merge(results)
     print(json.dumps(results))

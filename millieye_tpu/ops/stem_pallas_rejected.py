@@ -15,16 +15,20 @@ for the f32-scratch forms (runs/r4_campaign/03_stem_gate.log):
   (8, 128) f32 tiles but FRACTIONAL (16, 128) bf16 tiles. Round 5 adds
   the alignment fix (halo 8 -> 16 rows when scratches are bf16) to all
   three kernels and a ``bf16_only`` bisect knob to the phase kernel.
-* What the r4 gate NEVER measured: ``packed_default`` / ``s2d_default``
-  with f32 scratches — DEFAULT one-pass dots where the 4x column-pass
-  reduction should actually pay (the old darknet dispatch auto-coupled
-  bf16 scratches, i.e. the crash config, to DEFAULT precision). These
-  are the round-5 flagship candidates (presets pallas_max_pk /
-  pallas_max_s2d).
-* The earlier CLEAN Mosaic reject ("[16c_mid, 9, q] -> [16c_mid, 9q]
-  unsupported shape cast when q != 128*k") still binds the DEEP pair
-  (stages 4+6 at 104 px, q=32): fixing it needs 4-grid-rows-per-128-
-  lane packing of the s2d stage-1 scratch — unimplemented.
+* r5a on-chip gate verdict (runs/r5_campaign/03_stem_gate.log):
+  ``packed_default`` 3114 / ``s2d_default`` 4770 us b32 LOSE to the
+  phase kernel's 2746 — the stem pair is FILL-bound, not column-pass-
+  bound, so the 4x K-packing of the dot never pays. packed/s2d are
+  measured negatives at every precision, not just crash victims.
+* r5b on-chip gate verdict (runs/r5b/gate.log, 2026-08-20): the
+  ``lane_pack`` fix below makes the DEEP pair (stages 4+6, 104 px,
+  q=32) COMPILE AND RUN bit-exact (maxerr 7.6e-06 vs HIGHEST XLA) —
+  the 4-bands-per-128-lane scratch collapse is Mosaic-legal — but it
+  runs 12338 us b32 vs 1589 xla_default / 1825 two planar singles: a
+  7.8x LOSS. Deep stages have MXU-native channel counts (64->128);
+  XLA's conv is already near-roofline there and the kernel's per-band
+  scalar loops dominate. The deep-pair line of work is CLOSED as a
+  measured negative; these kernels stay interpret-exact documentation.
 
 The chip-proven serving kernels (phase pair = the ``pallas_max*``
 flagship family) live in ops/stem_pallas.py; it re-exports this module
