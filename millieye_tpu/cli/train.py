@@ -54,6 +54,12 @@ def parse_args(argv=None):
                    help="train on N procedurally-labeled synthetic scenes "
                         "instead of a dataset root (data.synthetic)")
     p.add_argument("--multiscale", action="store_true")
+    p.add_argument("--fold_frozen", action="store_true",
+                   help="stage 3: BN-fold the frozen darknet in-step and "
+                        "run the bf16 Pallas fused stem in the training "
+                        "forward (measured +26%% step rate vs the stopgrad "
+                        "step, BENCH_DETAILS train_step_b8_fold_stem_bf16; "
+                        "exact for the eval-mode frozen base detector)")
     p.add_argument("--device_cache", action="store_true",
                    help="put the whole padded dataset on device once and "
                         "feed the step by on-device index gather "
@@ -110,7 +116,15 @@ def main(argv=None):
     mesh = _make_mesh(args)
 
     if args.stage == "fusion":
-        model, params, state = build_fusion(args)
+        fkw = {}
+        if args.fold_frozen:
+            # the fold_stem_bf16 train-step config (benchmarks/details.py
+            # build_train): folded frozen darknet + phase-pair Pallas stem
+            # in the training forward, conv compute bf16, loss/decode f32
+            fkw = dict(hi_prec_stages=(0, 2, 4), pallas_stem=(0, 2),
+                       pallas_pair=True, pallas_precision="default",
+                       pallas_variant="phase", compute_dtype="bfloat16")
+        model, params, state = build_fusion(args, **fkw)
         if args.pretrained:
             params["darknet"], state["darknet"] = load_weights_any(
                 model.darknet, params["darknet"], state["darknet"],
@@ -122,7 +136,8 @@ def main(argv=None):
             params, state, _frozen = load_module2_pretrain(params, state, sd)
         trainer = recipes.fusion_trainer(
             model, params, state, args.checkpoint_dir, lr=args.lr,
-            every_k=args.grad_accum, mesh=mesh)
+            every_k=args.grad_accum, mesh=mesh,
+            fold_frozen=args.fold_frozen)
         if args.synthetic:
             from millieye_tpu.data.synthetic import SyntheticScenes
             dataset = SyntheticScenes(args.synthetic, seed=args.seed,

@@ -191,13 +191,20 @@ def fusion_viz(model, mode=0):
 
 def fusion_trainer(model, params, state, ckpt_dir, lr=5e-4, every_k=2,
                    mode=0, freeze_module2=True, viz=False, log_every=10,
-                   grad_clip=None, mesh=None):
+                   grad_clip=None, mesh=None, fold_frozen=False):
+    """``fold_frozen``: BN-fold the frozen darknet inside the step so the
+    Pallas fused stem engages in the training forward (exact for the
+    eval-mode frozen base detector; measured +26% step rate over the
+    stopgrad-bf16 step, BENCH_DETAILS train_step_b8_fold_stem_bf16 —
+    opt-in because it requires the darknet frozen and only pays when the
+    model was built with pallas_stem_* args)."""
     frozen = STAGE3_FROZEN if freeze_module2 else (("darknet",),)
     tx = frozen_adam(params, lr=lr, grad_clip=grad_clip,
                      frozen_prefixes=frozen, every_k=every_k)
     ts = init_train_state(params, state, tx)
     return Trainer(make_fusion_train_step(model, tx, mode,
-                                          frozen_prefixes=frozen),
+                                          frozen_prefixes=frozen,
+                                          fold_frozen=fold_frozen),
                    ts, ckpt_dir,
                    name="module3", log_every=log_every,
                    viz_fn=fusion_viz(model, mode) if viz else None,

@@ -97,3 +97,15 @@ def test_train_cli_synthetic_stage1(tmp_path):
           "--checkpoint_dir", str(tmp_path)])
     import os
     assert any(f.endswith(".npz") for f in os.listdir(tmp_path))
+
+
+@pytest.mark.slow
+def test_train_cli_fusion_fold_frozen(tmp_path):
+    """--fold_frozen arms the folded-darknet + Pallas-stem training
+    forward (train/steps.py fold_frozen; interpret-mode kernels on CPU)
+    and trains stage 3 end-to-end from the CLI."""
+    from millieye_tpu.cli.train import main
+    main(["--stage", "fusion", "--synthetic", "4", "--epochs", "1",
+          "--batch_size", "2", "--img_size", "128", "--fold_frozen",
+          "--checkpoint_dir", str(tmp_path)])
+    assert any(f.endswith(".npz") for f in os.listdir(tmp_path))
