@@ -193,6 +193,54 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
                             dict(params, darknet=fp), "bfloat16"),
         "pallas_lat": (FusionNetwork(phase_dn, lat_cfg),
                        dict(params, darknet=fp), "bfloat16"),
+        # + bf16 s0/s1 patch scratches in the stem pair (phase_s01 —
+        # the measured-fastest r5 candidate, 5315.8 fps b32): DIRECT
+        # accuracy row at the k128/d64 operating point (the alias from
+        # the k128 row rests on the gate's bit-identity; this measures
+        # the preset itself)
+        "pallas_max_s01": (FusionNetwork(
+            Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                    img_size=IMG, hi_prec_stages=(0, 2, 4),
+                    hi_prec_store=jnp.float16,
+                    pallas_stem_stages=(0, 2),
+                    pallas_stem_pair=True,
+                    pallas_stem_precision="default",
+                    pallas_stem_pair_variant="phase_s01"), k128_cfg),
+            dict(params, darknet=fp), "bfloat16"),
+        # + VMEM-block input over the s01 scratches (phase_vmem_s01):
+        # accuracy gate for the pallas_max_vm_s01 preset
+        "pallas_max_vm_s01": (FusionNetwork(
+            Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                    img_size=IMG, hi_prec_stages=(0, 2, 4),
+                    hi_prec_store=jnp.float16,
+                    pallas_stem_stages=(0, 2),
+                    pallas_stem_pair=True,
+                    pallas_stem_precision="default",
+                    pallas_stem_pair_variant="phase_vmem_s01"), k128_cfg),
+            dict(params, darknet=fp), "bfloat16"),
+        # VMEM-block input, f32 scratches (pallas_max_vm preset)
+        "pallas_max_vm": (FusionNetwork(
+            Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                    img_size=IMG, hi_prec_stages=(0, 2, 4),
+                    hi_prec_store=jnp.float16,
+                    pallas_stem_stages=(0, 2),
+                    pallas_stem_pair=True,
+                    pallas_stem_precision="default",
+                    pallas_stem_pair_variant="phase_vmem"), k128_cfg),
+            dict(params, darknet=fp), "bfloat16"),
+        # VMEM-block BF16 input (halved HBM read — a REAL rounding
+        # change on the input, unlike the scratch-only rows above, so
+        # this row is a required gate, not an alias)
+        "pallas_max_vm_bf16s": (FusionNetwork(
+            Darknet(tiny_yolov3_defs(num_classes=12, img_size=IMG),
+                    img_size=IMG, hi_prec_stages=(0, 2, 4),
+                    hi_prec_store=jnp.float16,
+                    pallas_stem_stages=(0, 2),
+                    pallas_stem_pair=True,
+                    pallas_stem_precision="default",
+                    pallas_stem_pair_variant="phase_vmem_bf16s"),
+            k128_cfg),
+            dict(params, darknet=fp), "bfloat16"),
         # + stage-0 K-packed stem (numerics == phase at the same
         # precision; this row is the trained-net no-regression gate)
         "pallas_packed": (FusionNetwork(
@@ -307,14 +355,9 @@ def main(ckpt="runs/synthetic/stage3_final.npz",
                 # this row IS the pallas_max_d64 preset's accuracy —
                 # record it under both names
                 results[f"map50_pallas_max_d64_{light}"] = m
-            if name == "pallas_max_k128":
-                # pallas_max_s01 differs from k128 only in the stem
-                # kernel's scratch dtype, and phase_s01 is BIT-IDENTICAL
-                # to phase at DEFAULT dots (r5b on-chip gate maxerr
-                # 0.00e+00, runs/r5b/gate.log; interpret parity in
-                # tests/test_stem_pallas.py) — the k128 row IS the s01
-                # preset's accuracy
-                results[f"map50_pallas_max_s01_{light}"] = m
+            # (pallas_max_s01 was once aliased from the k128 row via the
+            # r5b bit-identity gate; it is now a DIRECT variant above —
+            # the measured row supersedes the alias)
             print(f"{name} {light}: mAP@0.5 = {m}", flush=True)
             _merge(results)
     print(json.dumps(results))

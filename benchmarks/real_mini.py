@@ -1,0 +1,233 @@
+"""Real-image mini-dataset: exercise ImageListDataset/ExDarkDataset +
+Trainer end-to-end on actual photographs (VERDICT r4 missing-#2 / next-#5).
+
+The reference trains stage 1/2 on COCO+ExDark (module2_mixed/
+train.py:114-161) — neither is on this box, and the only real
+photographs available offline are the ones bundled inside installed
+packages. This harness builds a small ExDark-style set from them:
+
+* ``grace_hopper.jpg`` (matplotlib sample data, 512x600) — a real
+  portrait photograph, hand-labeled here: People box xyxy
+  (62, 15, 511, 600) (verified visually; hat-to-shoulders).
+* ``china.jpg`` / ``flower.jpg`` (sklearn sample images, 640x427) —
+  real photographs with no instance of the 12 ExDark classes:
+  background negatives (their boats are 3-8 px specks, below
+  labelable scale).
+
+Each source yields deterministic variants: seeded crops (boxes clipped,
+dropped when <60% survives), downscales, horizontal flips, and
+ExDark-style low-light versions (gamma + gain + sensor noise), written
+in BOTH on-disk layouts the reference uses:
+
+* ImageList (COCO-style): images/ + labels/ YOLO txt + train/test list
+  files (ListDataset, module2_mixed/utils/datasets.py:75-167);
+* ExDark: Img/<Class>/ + Label/<Class>/*.txt (name l t w h rows) +
+  imageclasslist.txt with split column (utils/datasets.py:170-334).
+
+``run`` then drives the REAL production entry points — cli/train and
+cli/evaluate — stage 1 (yolo, ImageList layout) and stage 2 (refine,
+ExDark layout), and writes a report. This is a PLUMBING acceptance (the
+dataset is one portrait subject + negatives, so the trained net
+overfits by construction); detection-quality acceptance lives in
+benchmarks/synthetic_e2e.py. CPU-friendly: ~minutes at img 256.
+
+    python benchmarks/real_mini.py build
+    python benchmarks/real_mini.py run          # build + train + eval
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ROOT = os.path.join("runs", "real_mini")
+GH_BOX = (62, 15, 511, 600)          # hand label: People, xyxy
+# 12-class id of People: the class ids are indexes into the SORTED coco
+# id list (data/datasets.py EXDARK_CLASS_IN_COCO = [0, 1, 2, ...];
+# People -> coco person 0 -> index 0), NOT the EXDARK_NAMES position —
+# this keeps the ImageList labels consistent with ExDarkDataset's remap
+PEOPLE_ID = 0
+N_VARIANTS = (30, 12, 6)              # grace_hopper, china, flower
+
+
+def _sources():
+    from matplotlib import cbook
+    from PIL import Image
+    gh = np.asarray(Image.open(
+        cbook.get_sample_data("grace_hopper.jpg", asfileobj=False))
+        .convert("RGB"))
+    from sklearn.datasets import load_sample_images
+    sk = load_sample_images()
+    imgs = {os.path.basename(f): np.asarray(i, np.uint8)
+            for f, i in zip(sk.filenames, sk.images)}
+    return (("grace_hopper", gh, np.array([GH_BOX], np.float64)),
+            ("china", imgs["china.jpg"], np.zeros((0, 4))),
+            ("flower", imgs["flower.jpg"], np.zeros((0, 4))))
+
+
+def _darken(img, rng):
+    """ExDark-style low light: gamma compression + gain + shot noise."""
+    x = img.astype(np.float32) / 255.0
+    gamma = rng.uniform(1.8, 2.6)
+    gain = rng.uniform(0.18, 0.38)
+    x = np.power(x, gamma) * gain
+    x = x + rng.normal(0, rng.uniform(0.01, 0.03), x.shape).astype(np.float32)
+    return np.clip(x * 255.0, 0, 255).astype(np.uint8)
+
+
+def _variant(img, boxes, rng):
+    """Seeded crop + optional flip + optional downscale; boxes clipped to
+    the crop, dropped when <60% of the original area survives."""
+    from PIL import Image
+    h, w = img.shape[:2]
+    fx0, fy0 = rng.uniform(0, 0.18), rng.uniform(0, 0.18)
+    fx1, fy1 = rng.uniform(0.82, 1.0), rng.uniform(0.82, 1.0)
+    x0, y0 = int(fx0 * w), int(fy0 * h)
+    x1, y1 = max(int(fx1 * w), x0 + 64), max(int(fy1 * h), y0 + 64)
+    crop = img[y0:y1, x0:x1]
+    kept = []
+    for bx0, by0, bx1, by1 in boxes:
+        cx0, cy0 = max(bx0 - x0, 0), max(by0 - y0, 0)
+        cx1 = min(bx1 - x0, x1 - x0)
+        cy1 = min(by1 - y0, y1 - y0)
+        if cx1 <= cx0 or cy1 <= cy0:
+            continue
+        if ((cx1 - cx0) * (cy1 - cy0)
+                / ((bx1 - bx0) * (by1 - by0)) >= 0.6):
+            kept.append([cx0, cy0, cx1, cy1])
+    kept = np.asarray(kept, np.float64).reshape(-1, 4)
+    if rng.uniform() < 0.5:                       # horizontal flip
+        crop = crop[:, ::-1]
+        cw = crop.shape[1]
+        kept = np.stack([cw - kept[:, 2], kept[:, 1],
+                         cw - kept[:, 0], kept[:, 3]], -1) if len(kept) \
+            else kept
+    scale = rng.uniform(0.55, 1.0)
+    if scale < 0.97:
+        ch, cw = crop.shape[:2]
+        nw, nh = max(int(cw * scale), 64), max(int(ch * scale), 64)
+        crop = np.asarray(Image.fromarray(np.ascontiguousarray(crop))
+                          .resize((nw, nh), Image.LANCZOS))
+        kept = kept * (nw / cw)
+    return np.ascontiguousarray(crop), kept
+
+
+def build(root=ROOT, seed=0):
+    from PIL import Image
+    for sub in ("images", "labels", os.path.join("Img", "People"),
+                os.path.join("Label", "People")):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    rows, train_list, test_list = [], [], []
+    counts = {"train": 0, "test": 0, "boxes": 0, "dark": 0}
+    idx = 0
+    for (src, img, boxes), n in zip(_sources(), N_VARIANTS):
+        for k in range(n):
+            crop, kept = _variant(img, boxes, rng)
+            light = "L" if k % 2 else "H"
+            if light == "L":
+                crop = _darken(crop, rng)
+                counts["dark"] += 1
+            name = f"{src}_{k:02d}_{light}.jpg"
+            split = "test" if idx % 4 == 3 else "train"
+            counts[split] += 1
+            counts["boxes"] += len(kept)
+            img_path = os.path.join(root, "images", name)
+            Image.fromarray(crop).save(img_path, quality=92)
+            ch, cw = crop.shape[:2]
+            # ImageList layout: YOLO normalized (cls cx cy w h)
+            with open(os.path.join(root, "labels",
+                                   name.replace(".jpg", ".txt")), "w") as f:
+                for bx0, by0, bx1, by1 in kept:
+                    f.write(f"{PEOPLE_ID} {(bx0 + bx1) / 2 / cw:.6f} "
+                            f"{(by0 + by1) / 2 / ch:.6f} "
+                            f"{(bx1 - bx0) / cw:.6f} "
+                            f"{(by1 - by0) / ch:.6f}\n")
+            (train_list if split == "train" else test_list).append(
+                os.path.abspath(img_path))
+            # ExDark layout: Img/People + Label/People (name l t w h),
+            # negatives get no label file (dataset handles missing)
+            ex_img = os.path.join(root, "Img", "People", name)
+            Image.fromarray(crop).save(ex_img, quality=92)
+            if len(kept):
+                with open(os.path.join(root, "Label", "People",
+                                       name + ".txt"), "w") as f:
+                    f.write("% bbGt version=3\n")
+                    for bx0, by0, bx1, by1 in kept:
+                        f.write(f"People {bx0:.1f} {by0:.1f} "
+                                f"{bx1 - bx0:.1f} {by1 - by0:.1f} 0\n")
+            rows.append(f"{name} {PEOPLE_ID + 1} {2 if light == 'L' else 5} "
+                        f"1 {'3' if split == 'test' else '1'}")
+            idx += 1
+    with open(os.path.join(root, "imageclasslist.txt"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    for nm, lst in (("train.txt", train_list), ("test.txt", test_list)):
+        with open(os.path.join(root, nm), "w") as f:
+            f.write("\n".join(lst) + "\n")
+    print("built", root, counts, flush=True)
+    return counts
+
+
+def run(root=ROOT, img=256, epochs1=24, epochs2=8, seed=0,
+        out_path="REAL_MINI.json"):
+    counts = build(root, seed)
+    from millieye_tpu.cli import train as train_cli
+    from millieye_tpu.cli import evaluate as eval_cli
+    report = {"dataset": counts, "img_size": img,
+              "note": "plumbing acceptance on real photographs "
+                      "(1 labeled subject + 2 negative scenes; the net "
+                      "overfits by construction — detection-level "
+                      "acceptance is benchmarks/synthetic_e2e.py)"}
+
+    ck1 = os.path.join(root, "ckpt_stage1")
+    train_cli.main(["--stage", "yolo", "--train_list",
+                    os.path.join(root, "train.txt"),
+                    "--img_size", str(img), "--epochs", str(epochs1),
+                    "--batch_size", "4", "--lr", "1e-3",
+                    "--checkpoint_dir", ck1, "--seed", str(seed)])
+    w1 = os.path.join(ck1, "yolo_ckpt_final.npz")
+    report["stage1_yolo_map50"] = round(float(eval_cli.main(
+        ["--what", "yolo", "--weights", w1,
+         "--train_list", os.path.join(root, "test.txt"),
+         "--img_size", str(img), "--batch_size", "4",
+         "--conf_thresh", "0.2"])), 4)
+
+    ck2 = os.path.join(root, "ckpt_stage2")
+    train_cli.main(["--stage", "refine", "--exdark_root", root,
+                    "--img_size", str(img), "--epochs", str(epochs2),
+                    "--batch_size", "4", "--lr", "5e-4",
+                    "--pretrained", w1,
+                    "--checkpoint_dir", ck2, "--seed", str(seed)])
+    w2 = os.path.join(ck2, "module2_ckpt_final.npz")
+    report["stage2_refine_map50"] = round(float(eval_cli.main(
+        ["--what", "refine", "--weights", w2, "--exdark_root", root,
+         "--img_size", str(img), "--batch_size", "4",
+         "--conf_thresh", "0.2"])), 4)
+
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1), flush=True)
+    return report
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=("build", "run"), nargs="?",
+                    default="run")
+    ap.add_argument("--root", default=ROOT)
+    ap.add_argument("--img", type=int, default=256)
+    ap.add_argument("--epochs1", type=int, default=24)
+    ap.add_argument("--epochs2", type=int, default=8)
+    ap.add_argument("--out", default="REAL_MINI.json")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    if args.cmd == "build":
+        build(args.root, args.seed)
+    else:
+        run(args.root, args.img, args.epochs1, args.epochs2, args.seed,
+            args.out)

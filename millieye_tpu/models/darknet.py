@@ -233,8 +233,9 @@ class Darknet:
         # half the fill traffic. Scratch dtype is part of the VARIANT
         # NAME, not inferred from precision: the old auto-bf16 coupling
         # selected the one configuration that crashes the Mosaic
-        # compile helper (runs/r4_campaign/03_stem_gate.log — every
-        # bf16-scratch kernel, pre the DMA tile-alignment fix).
+        # compile helper (r4 on-chip gate, 2026-08-19, log lost in a
+        # runs/ wipe; ops/stem_pallas_rejected.py mirrors the record —
+        # every bf16-scratch kernel, pre the DMA tile-alignment fix).
         base_variant = (pallas_stem_pair_variant[:-6]
                         if pallas_stem_pair_variant.endswith("_bf16s")
                         else pallas_stem_pair_variant)

@@ -958,13 +958,15 @@ def fused_stem2_phase(x, w0, b0, w1, b1, interpret=False, out_dtype=None,
     showed every bf16-scratch kernel crashing the remote compile helper
     while its f32 twin compiled, and the 24/72/136-row DMA buffers
     (whole f32 tiles, fractional bf16 tiles) are the one structural
-    difference (runs/r4_campaign/03_stem_gate.log).
+    difference (r4 on-chip gate, 2026-08-19; the log was lost in a
+    runs/ wipe — verdicts mirrored in ops/stem_pallas_rejected.py).
 
     ``bf16_only`` (None | "xb" | "s0" | "s1" | "s0s1",
     precision="default" + f32 ``scratch_dtype`` only): flips the named
     buffer(s) to bf16 — the compile-crash bisect knob for
     benchmarks/stem_pallas_check.py. The r5 on-chip gate verdict
-    (runs/r5_campaign/stem_gate.log): bf16 s0 (2650 us) and bf16 s1
+    (2026-08-20; regenerated evidence in
+    runs_archive/r5/03_stem2new_gate.log): bf16 s0 (2650 us) and bf16 s1
     (2607) each compile AND beat the all-f32 kernel (2746); bf16 xb
     still crashes the compile helper even with the 32-row tile-aligned
     DMA — the bf16 HBM->VMEM user DMA itself is the crash vector.

@@ -1,8 +1,9 @@
 """K-packed / s2d stem-kernel variants (on-chip status mixed).
 
 Quarantined from ops/stem_pallas.py in round 4 (VERDICT r3 weak #4) as
-"Mosaic-rejected" — but the r4 campaign's own gate log DISPROVES that
-for the f32-scratch forms (runs/r4_campaign/03_stem_gate.log):
+"Mosaic-rejected" — but the r4 campaign's own gate log DISPROVED that
+for the f32-scratch forms (r4 on-chip gate, 2026-08-19; the log was
+lost in a runs/ wipe — this header is the mirrored record):
 
 * ``packed_highest`` COMPILED AND RAN on-chip: 5061 us/b32 (vs phase
   4216 at the same HIGHEST precision — the packing LOSES at 6-pass f32
@@ -15,12 +16,14 @@ for the f32-scratch forms (runs/r4_campaign/03_stem_gate.log):
   (8, 128) f32 tiles but FRACTIONAL (16, 128) bf16 tiles. Round 5 adds
   the alignment fix (halo 8 -> 16 rows when scratches are bf16) to all
   three kernels and a ``bf16_only`` bisect knob to the phase kernel.
-* r5a on-chip gate verdict (runs/r5_campaign/03_stem_gate.log):
+* r5a on-chip gate verdict (2026-08-20; log lost in a runs/ wipe —
+  mirrored here):
   ``packed_default`` 3114 / ``s2d_default`` 4770 us b32 LOSE to the
   phase kernel's 2746 — the stem pair is FILL-bound, not column-pass-
   bound, so the 4x K-packing of the dot never pays. packed/s2d are
   measured negatives at every precision, not just crash victims.
-* r5b on-chip gate verdict (runs/r5b/gate.log, 2026-08-20): the
+* r5b on-chip gate verdict (2026-08-20; log lost in a runs/ wipe —
+  mirrored here): the
   ``lane_pack`` fix below makes the DEEP pair (stages 4+6, 104 px,
   q=32) COMPILE AND RUN bit-exact (maxerr 7.6e-06 vs HIGHEST XLA) —
   the 4-bands-per-128-lane scratch collapse is Mosaic-legal — but it
@@ -67,7 +70,8 @@ from millieye_tpu.ops.stem_pallas import (_PRECISIONS, _round_up,
 # utilization) is left in the phase formulation — packing would push
 # K past 128.
 #
-# MEASURED NEGATIVE (r5 gate, runs/r5_campaign/stem_gate.log): at
+# MEASURED NEGATIVE (r5 on-chip gate, 2026-08-20; log lost in a runs/
+# wipe — mirrored here): at
 # DEFAULT one-pass dots, packed_default = 3114 us vs phase_default
 # 2746 (pack_stage1=False: 3000; HIGHEST: 5068 vs 4244). The
 # "column-streaming bound" premise above was wrong — the VPU patch
