@@ -95,7 +95,9 @@ def main():
             json.dump(summary, f, indent=1)
         shutil.copy(SUMMARY, os.path.join(ARCHIVE, "summary.json"))
 
-    rc, tail, dt = run("probe", ["-c", PROBE], 600)
+    # 900s: a freshly-recovered relay takes ~60s backend init + ~120s
+    # probe RTT, and concurrent CPU load (pytest) stretches jax import
+    rc, tail, dt = run("probe", ["-c", PROBE], 900)
     record("probe", rc, dt)
     if rc != 0:
         print("tunnel not alive; aborting", flush=True)

@@ -31,7 +31,10 @@ def main(hours=11.0, poll=240, campaign_timeout=8 * 3600):
         n += 1
         # ttl=0: always re-probe (the cached OK stamp must not launch a
         # multi-hour campaign against a relay that died seconds ago)
-        if tunnel_alive(ttl=0, timeout=200):
+        # 300s probe: a half-recovered relay answers in ~2-4 min (the
+        # 10:37 recovery probe took 113s; 200s timeouts missed the
+        # 10:06 window under load)
+        if tunnel_alive(ttl=0, timeout=300):
             print(f"[watch] relay ALIVE after {n} probes — campaign",
                   flush=True)
             try:
@@ -39,7 +42,13 @@ def main(hours=11.0, poll=240, campaign_timeout=8 * 3600):
                     [sys.executable, "-u",
                      os.path.join(ROOT, "benchmarks", "r5_campaign.py")],
                     cwd=ROOT, timeout=campaign_timeout)
-                return r.returncode
+                if r.returncode == 0:
+                    return 0
+                # rc=1 = campaign aborted at its own probe/health gate
+                # (slow recovery, degraded session) — keep watching
+                # rather than dying with it
+                print(f"[watch] campaign aborted rc={r.returncode}; "
+                      "resuming watch", flush=True)
             except subprocess.TimeoutExpired:
                 print("[watch] campaign timed out", flush=True)
                 return 2

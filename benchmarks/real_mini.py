@@ -52,6 +52,10 @@ GH_BOX = (62, 15, 511, 600)          # hand label: People, xyxy
 # People -> coco person 0 -> index 0), NOT the EXDARK_NAMES position —
 # this keeps the ImageList labels consistent with ExDarkDataset's remap
 PEOPLE_ID = 0
+# ...whereas imageclasslist.txt's class column is the 1-based
+# EXDARK_NAMES position (alphabetical; People = 11) — it selects the
+# Img/<Class>/ directory, not the label id
+PEOPLE_DIRCLASS = 11
 N_VARIANTS = (30, 12, 6)              # grace_hopper, china, flower
 
 
@@ -161,7 +165,7 @@ def build(root=ROOT, seed=0):
                     for bx0, by0, bx1, by1 in kept:
                         f.write(f"People {bx0:.1f} {by0:.1f} "
                                 f"{bx1 - bx0:.1f} {by1 - by0:.1f} 0\n")
-            rows.append(f"{name} {PEOPLE_ID + 1} {2 if light == 'L' else 5} "
+            rows.append(f"{name} {PEOPLE_DIRCLASS} {2 if light == 'L' else 5} "
                         f"1 {'3' if split == 'test' else '1'}")
             idx += 1
     with open(os.path.join(root, "imageclasslist.txt"), "w") as f:
