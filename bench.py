@@ -249,12 +249,12 @@ def _ladder():
     # last is fully Mosaic-free (XLA fixpoint NMS, plain XLA convs).
     # benchmarks/r*_campaign.py overwrites the leading rungs with the
     # MEASURED-fastest preset order via runs/bench_ladder.json.
-    # Default order = the r4 MEASURED ladder: pallas_max_k128 first
-    # (5148 fps b32 / 1684 b1 — blocked-NMS auto, matching the details
-    # measurement; top-128 candidates proven sufficient on both splits),
-    # then the chip-proven fallbacks.
-    rungs = [("pallas_max_k128", {}, 2000),
-             ("pallas_max_d64", {}, 1500),
+    # Default order = the r5 MEASURED ladder: pallas_max_s01 first
+    # (5315.8 fps b32 = 18.7% MFU — k128 + bf16 s0/s1 patch scratches,
+    # accuracy row equal to k128's to 4 decimals on both splits), then
+    # the chip-proven fallbacks.
+    rungs = [("pallas_max_s01", {}, 2400),
+             ("pallas_max_k128", {}, 2000),
              ("pallas_max", {"MILLIEYE_NMS_BLOCKED": "0"}, 1500),
              ("pallas_stem2", {"MILLIEYE_NMS_BLOCKED": "0",
                                "MILLIEYE_BENCH_SCAN": "0"}, 1500),
