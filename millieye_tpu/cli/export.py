@@ -62,6 +62,11 @@ def main(argv=None):
         fp = model.darknet.fold_s2d(fp)
     params = dict(params, darknet=fp)
     state = dict(state, darknet=fs)
+    # numpy checkpoint leaves -> jax arrays: the eager --verify apply
+    # (and constant-baking export) needs jax weak-type promotion — see
+    # io/export.py:export_serving
+    params = jax.tree.map(jnp.asarray, params)
+    state = jax.tree.map(jnp.asarray, state)
 
     platforms = ("tpu",) if args.tpu else None
     blob = export_serving(model, params, state, batch_size=args.batch,
@@ -82,10 +87,15 @@ def main(argv=None):
         live = model.apply(params, state, imgs, maps, rb, rm,
                            mode=args.mode)
         art = load_serving(blob)(imgs, maps, rb, rm)
+        # bf16 presets: eager vs compiled bf16 reductions round
+        # differently (measured ~0.04 px on boxes); f32 stays tight
+        bf16 = model.cfg.compute_dtype != "float32"
         np.testing.assert_allclose(np.asarray(art["boxes"]),
                                    np.asarray(live["boxes"]),
-                                   rtol=1e-5, atol=1e-5)
-        print("verify: artifact == live graph")
+                                   rtol=5e-2 if bf16 else 1e-5,
+                                   atol=0.1 if bf16 else 1e-5)
+        print("verify: artifact == live graph"
+              + (" (bf16 rounding tolerance)" if bf16 else ""))
 
     with open(args.out, "wb") as f:
         f.write(blob)

@@ -48,6 +48,16 @@ def export_serving(model, params, state, batch_size=1, mode=0,
     s = model.darknet.img_size
     r = model.cfg.max_radar
 
+    # Weights are CLOSED OVER (baked as constants): numpy leaves (the
+    # shape checkpoints load as) must become jax arrays first — numpy
+    # promotes `bf16_array + python_float` to float32 (no weak types),
+    # so a numpy-leaf bf16-cast head upcasts mid-stack during tracing
+    # and the next conv sees mixed dtypes. Production eval paths are
+    # immune (they jit with weights as ARGUMENTS, converted at the jit
+    # boundary); only constant-baking paths need this.
+    params = jax.tree.map(jnp.asarray, params)
+    state = jax.tree.map(jnp.asarray, state)
+
     def step(images, radar_maps, radar_boxes, rmask):
         out = model.apply(params, state, images, radar_maps,
                           radar_boxes, rmask, mode=mode)

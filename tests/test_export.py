@@ -65,3 +65,35 @@ def test_export_cli(tmp_path):
     imgs, maps, rb, rm = _inputs(rng, 1, 128, 32)
     o = step(imgs, maps, rb, rm)
     assert np.isfinite(np.asarray(o["boxes"])).all()
+
+
+def test_export_numpy_leaves_bf16_heads():
+    """Regression: checkpoints load as NUMPY leaves, and numpy promotes
+    `bf16_array + python_float` to float32 (no weak types) — a bf16-cast
+    head upcast mid-stack during constant-baking export and the next
+    conv saw mixed dtypes (caught on the pallas_max_s01 export with the
+    trained checkpoint). export_serving must convert leaves to jax
+    arrays before tracing."""
+    from millieye_tpu.io.export import export_serving, load_serving
+
+    S = 128
+    dn = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S), img_size=S)
+    m = FusionNetwork(dn, FusionConfig(conf_thresh=0.05, max_det=8,
+                                       max_radar=4, pre_nms_top_k=64,
+                                       nms_use_pallas=False,
+                                       compute_dtype="bfloat16",
+                                       heads_dtype="bfloat16"))
+    params, state = m.init(jax.random.PRNGKey(0))
+    fp, fs = dn.fold_batchnorm(params["darknet"], state["darknet"],
+                               dtype=jnp.bfloat16)
+    params = dict(params, darknet=fp)
+    state = dict(state, darknet=fs)
+    # the shape a checkpoint restore produces: every leaf numpy
+    params = jax.tree.map(lambda a: np.asarray(a), params)
+    state = jax.tree.map(lambda a: np.asarray(a), state)
+
+    blob = export_serving(m, params, state, batch_size=1)
+    rng = np.random.default_rng(5)
+    imgs, maps, rb, rm = _inputs(rng, 1, S, 4)
+    art = load_serving(bytes(blob))(imgs, maps, rb, rm)
+    assert np.isfinite(np.asarray(art["boxes"])).all()
