@@ -81,8 +81,14 @@ class FusionEngine:
         if fold_bn:
             params, state = fold_for_serving(model, params, state,
                                              act_absmax)
-        self.params = params
-        self.state = state
+        # checkpoint restores yield NUMPY leaves; the step closes over
+        # self.params, and numpy promotes `bf16_array + python_float`
+        # to float32 during tracing (no weak types) — the same mixed-
+        # dtype conv failure fixed in io/export.py:export_serving. jax
+        # arrays keep weak-type promotion (and land on device once,
+        # instead of re-transferring as fresh constants per mode).
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.state = jax.tree.map(jnp.asarray, state)
         self.frame_size = frame_size
         self.max_points = max_points
         self.post_nms_iou = post_nms_iou

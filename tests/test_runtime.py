@@ -199,3 +199,26 @@ def test_batched_window_staged_replay(engine, tmp_path):
         np.testing.assert_array_equal(got[i][1], ref[i][1])
         np.testing.assert_allclose(got[i][0], ref[i][0], rtol=1e-4,
                                    atol=1e-4)
+
+
+def test_engine_numpy_leaves_bf16_heads(rng):
+    """Regression (same class as the export fix): the engine's step
+    closes over self.params; numpy checkpoint leaves at a bf16-heads
+    preset upcast mid-stack during tracing (numpy has no weak types)
+    unless the engine converts leaves to jax arrays."""
+    darknet = Darknet(tiny_yolov3_defs(num_classes=12, img_size=S),
+                      img_size=S)
+    cfg = FusionConfig(conf_thresh=0.05, max_det=16, max_radar=4,
+                       pre_nms_top_k=64, compute_dtype="bfloat16",
+                       heads_dtype="bfloat16")
+    model = FusionNetwork(darknet, cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda a: np.asarray(a), params)
+    state = jax.tree.map(lambda a: np.asarray(a), state)
+    eng = FusionEngine(model, params, state, frame_size=FRAME,
+                       max_points=32)
+    frame = (rng.uniform(size=(FRAME[1], FRAME[0], 3)) * 255).astype(np.uint8)
+    pts = np.array([[10.0, 10.0, 2.0, 1.0]])
+    boxes, valid = eng.infer(frame, pts,
+                             np.array([[5.0, 5.0, 30.0, 40.0]]), mode=0)
+    assert np.isfinite(boxes).all()
