@@ -118,12 +118,17 @@ def main(argv=None):
     if args.stage == "fusion":
         fkw = {}
         if args.fold_frozen:
-            # the fold_stem_bf16 train-step config (benchmarks/details.py
-            # build_train): folded frozen darknet + phase-pair Pallas stem
-            # in the training forward, conv compute bf16, loss/decode f32
+            # the fold_stem train-step config (benchmarks/
+            # train_stem_bench.py): folded frozen darknet + Pallas stem
+            # pair in the training forward, conv compute bf16, loss/
+            # decode f32. phase_s01 (bf16 patch scratches) measured
+            # +13.2% over the phase spelling in a healthy relay window
+            # (286.6 vs 253.1 steps/s b8), bit-identical numerics at
+            # DEFAULT dots
             fkw = dict(hi_prec_stages=(0, 2, 4), pallas_stem=(0, 2),
                        pallas_pair=True, pallas_precision="default",
-                       pallas_variant="phase", compute_dtype="bfloat16")
+                       pallas_variant="phase_s01",
+                       compute_dtype="bfloat16")
         model, params, state = build_fusion(args, **fkw)
         if args.pretrained:
             params["darknet"], state["darknet"] = load_weights_any(
