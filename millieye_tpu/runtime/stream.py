@@ -47,7 +47,13 @@ class StreamingPipeline:
     compiled consumer step."""
 
     def __init__(self, engine, rec_dir, calib, params: RadarParams = None,
-                 queue_size=3, mode=0, frames=None):
+                 queue_size=3, mode=0, frames=None, drop_on_full=True):
+        # drop_on_full=True is the LIVE contract (the reference's
+        # mp.Queue(3) back-pressure, run_mp.py:151-152): a slow consumer
+        # costs freshness, not latency. False = lossless per-frame
+        # replay (offline processing must touch every frame; the
+        # batched-window mode already blocks).
+        self.drop_on_full = drop_on_full
         self.engine = engine
         self.rec_dir = rec_dir
         # optional pre-decoded frames [(idx, array), ...] — bypasses
@@ -86,7 +92,9 @@ class StreamingPipeline:
         return False
 
     # -------------------------------------------------------------- producer
-    def _produce(self, device_stage=True, drop_on_full=True):
+    def _produce(self, device_stage=True, drop_on_full=None):
+        if drop_on_full is None:
+            drop_on_full = self.drop_on_full
         p = self.params
         vtimes = load_timestamps(os.path.join(self.rec_dir, "timestamps.txt"))
         rtimes, rframes = load_pointcloud(
