@@ -71,7 +71,7 @@ def _warm_one(serving, retry_ok=True):
         return _warm_one(serving, retry_ok=False)
 
 
-def _warm(presets=("pallas_max", "pallas_stem2", "f32")):
+def _warm(presets=("pallas_max_s01", "pallas_max", "pallas_stem2", "f32")):
     """First preset that builds+compiles wins: the flagship serving
     config normally, the plain-f32 parity config as a driver-proof
     fallback (a Mosaic/libtpu regression must degrade the number, not
