@@ -90,7 +90,12 @@ def main(argv=None):
     if os.path.exists(args.out):
         with open(args.out) as f:
             merged = json.load(f)
-    merged["eval_variance"] = entry
+    # per-split record (an H run must not clobber the L error bar);
+    # the legacy top-level key stays the acceptance-critical L block
+    if args.illumination == "L":
+        merged["eval_variance"] = entry
+    merged.setdefault("eval_variance_by_split",
+                      {})[args.illumination] = entry
     with open(args.out, "w") as f:
         json.dump(merged, f, indent=1)
     print(json.dumps(entry))
